@@ -1,0 +1,280 @@
+"""Wavefront path-tracing integrators.
+
+The reference integrates with per-pixel *recursion* over bounce depth
+(rendering.rs:34-142) — three scene traversals per bounce (path, shadow, peek;
+the recursion re-traces the peeked ray). Here the whole wave advances together
+inside ``lax.while_loop`` with alive masks: per bounce one shadow trace and one
+peek trace, and the peek **is** the next bounce's hit (the re-trace is
+deterministic, so reusing it is semantics-preserving and removes a third of
+the traversal cost).
+
+Estimator semantics replicate the reference exactly, including its two quirks
+(both required for RMSE parity — SURVEY §3.2):
+
+1. Russian-roulette termination discards the NEE direct light already gathered
+   at the current vertex (rendering.rs:100-102) — so `direct` is only added to
+   the accumulator *after* the ray survives RR.
+2. The balance-heuristic bsdf-side pdf is not divided by the light count while
+   the NEE-side pdf is (rendering.rs:114-117 vs world.rs:260).
+
+Other conventions preserved: lights are camera-visible only at depth 0 in MIS
+(rendering.rs:42-49) but at any depth in BRDF-only (rendering.rs:225-227); RR
+schedule 1 below depth 4, throughput-luminance-capped above, hard 0.5^(d-4)
+decay from depth 50 (rendering.rs:91-98); ray t_min 0.001 everywhere and
+shadow t_max = dist - 0.001 (rendering.rs:41, 62-65); the IOR ratio is carried
+on the ray — NEE at a vertex evaluates with the eta set at the *previous*
+vertex, the BSDF sample with the current vertex's (rendering.rs:72 vs :83).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .models.scene import Scene
+from .ops import bsdf as bsdf_ops
+from .ops import lights as light_ops
+from .ops.intersect import Hit, intersect, occluded
+from .utils import rng as rng_ops
+from .utils import vec
+
+EPS = 1e-3          # ray t_min / shadow t_max margin (rendering.rs:41,64)
+RR_MIN_DEPTH = 4    # rendering.rs:6
+RR_MAX_DEPTH = 50   # rendering.rs:7
+
+INTEGRATORS = ("mis", "nee", "brdf_only")
+
+
+class _WaveState(NamedTuple):
+    bounce: jnp.ndarray
+    ray_d: jnp.ndarray
+    ray_eta: jnp.ndarray
+    hit: Hit
+    prefix: jnp.ndarray
+    radiance: jnp.ndarray
+    alive: jnp.ndarray
+
+
+def _rr_probability(bounce, next_throughput):
+    """RR schedule (rendering.rs:91-98)."""
+    lum = jnp.minimum(vec.luminance(vec.finite_or_zero(next_throughput)), 1.0)
+    decay = jnp.exp2(-(jnp.maximum(bounce - RR_MIN_DEPTH, 0)).astype(lum.dtype))
+    return jnp.where(
+        bounce < RR_MIN_DEPTH,
+        jnp.ones_like(lum),
+        jnp.where(bounce >= RR_MAX_DEPTH, lum * decay, lum),
+    )
+
+
+@partial(jax.jit, static_argnames=("integrator", "max_bounces"))
+def trace_wave(
+    scene: Scene,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    keys: jax.Array,
+    integrator: str = "mis",
+    max_bounces: int = 64,
+) -> jnp.ndarray:
+    """Estimate radiance for a wave of primary rays. Returns ``(N, 3)``.
+
+    ``keys``: per-ray threefry keys (pixel, sample) — bounce indices are folded
+    in internally, so results are independent of wave batching.
+    """
+    if integrator not in INTEGRATORS:
+        raise ValueError(f"unknown integrator {integrator!r}; expected {INTEGRATORS}")
+    if integrator == "brdf_only":
+        return _trace_brdf_only(scene, ray_o, ray_d, keys, max_bounces)
+    return _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis=integrator == "mis")
+
+
+def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
+    n = ray_o.shape[0]
+    dtype = ray_o.dtype
+
+    hit0 = intersect(scene, ray_o, ray_d, EPS, jnp.inf)
+    emis0 = hit0.valid & bsdf_ops.is_emissive(scene, hit0.mat)
+    # Lights are visible to the camera only (depth==0, rendering.rs:42-49).
+    radiance = jnp.where(emis0[:, None], bsdf_ops.emitted(scene, hit0.mat), 0.0)
+    alive = hit0.valid & ~emis0
+
+    state = _WaveState(
+        bounce=jnp.int32(0),
+        ray_d=ray_d,
+        ray_eta=jnp.ones((n,), dtype),
+        hit=hit0,
+        prefix=jnp.ones((n, 3), dtype),
+        radiance=radiance,
+        alive=alive,
+    )
+
+    def cond(s: _WaveState):
+        return (s.bounce < max_bounces) & jnp.any(s.alive)
+
+    def body(s: _WaveState) -> _WaveState:
+        u = rng_ops.bounce_uniforms(keys, s.bounce, dtype=dtype)
+        hit = s.hit
+        i = -s.ray_d
+
+        # --- NEE (rendering.rs:55-81) ---
+        ls = light_ops.sample_light_point(
+            scene,
+            hit.point,
+            u[:, rng_ops.SLOT_LIGHT_SELECT],
+            u[:, rng_ops.SLOT_LIGHT_U],
+            u[:, rng_ops.SLOT_LIGHT_V],
+        )
+        blocked = occluded(scene, hit.point, ls.dir, EPS, ls.dist - EPS)
+        cos_l = jnp.abs(vec.dot(hit.normal, ls.dir))
+        bsdf_l, pdf_bsdf_l = bsdf_ops.eval_bsdf(
+            scene, hit.mat, i, s.ray_eta, ls.dir, hit.normal
+        )
+        if use_mis:
+            w_nee = ls.pdf / (ls.pdf + pdf_bsdf_l)
+        else:
+            w_nee = jnp.ones_like(ls.pdf)
+        direct = (
+            w_nee[:, None] * bsdf_l * ls.emission * (cos_l / ls.pdf)[:, None]
+        )
+        direct = vec.finite_or_zero(jnp.where(blocked[:, None], 0.0, direct))
+
+        # --- BSDF sample (rendering.rs:83-89) ---
+        eta_s = bsdf_ops.eta_ratio(scene, hit.mat, hit.front_face)
+        o_dir, bsdf_s, pdf_s, cos_s = bsdf_ops.sample_bsdf(
+            scene,
+            hit.mat,
+            i,
+            eta_s,
+            hit.normal,
+            u[:, rng_ops.SLOT_BSDF_U],
+            u[:, rng_ops.SLOT_BSDF_V],
+            u[:, rng_ops.SLOT_FRESNEL],
+        )
+        factor = bsdf_s * (cos_s / pdf_s)[:, None]  # bsdf·cos/pdf
+        next_tp = s.prefix * factor
+
+        # --- Russian roulette (rendering.rs:91-102) ---
+        rr = _rr_probability(s.bounce, next_tp)
+        survive = u[:, rng_ops.SLOT_RR] < rr
+
+        # Quirk 1: the vertex's direct light only counts if RR survives.
+        live = s.alive & survive
+        radiance = s.radiance + jnp.where(
+            live[:, None], vec.finite_or_zero(s.prefix * direct), 0.0
+        )
+
+        # --- Peek (rendering.rs:104-135); doubles as the next bounce's hit ---
+        peek = intersect(scene, hit.point, o_dir, EPS, jnp.inf)
+        peek_emis = peek.valid & bsdf_ops.is_emissive(scene, peek.mat)
+
+        if use_mis:
+            # Quirk 2: pdf_shape without the 1/num_lights factor.
+            pdf_shape = light_ops.light_pdf_toward(scene, peek.prim, hit.point, peek.point)
+            w_bsdf = pdf_s / (pdf_s + pdf_shape)
+            hit_light = (
+                w_bsdf[:, None]
+                * bsdf_s
+                * bsdf_ops.emitted(scene, peek.mat)
+                * (cos_s / (pdf_s * rr))[:, None]
+            )
+            radiance = radiance + jnp.where(
+                (live & peek_emis)[:, None],
+                vec.finite_or_zero(s.prefix * hit_light),
+                0.0,
+            )
+        # (NEE mode: a BSDF ray that lands on a light contributes nothing —
+        # that transport already flowed through the NEE term.)
+
+        cont = live & peek.valid & ~peek_emis
+        prefix = jnp.where(
+            cont[:, None],
+            vec.finite_or_zero(s.prefix * factor / rr[:, None]),
+            s.prefix,
+        )
+
+        return _WaveState(
+            bounce=s.bounce + 1,
+            ray_d=o_dir,
+            # The spawned ray carries the eta chosen at THIS vertex; the next
+            # vertex's NEE evaluates with it before overwriting (rendering.rs:72,83-87).
+            ray_eta=eta_s,
+            hit=peek,
+            prefix=prefix,
+            radiance=radiance,
+            alive=cont,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.radiance
+
+
+def _trace_brdf_only(scene, ray_o, ray_d, keys, max_bounces):
+    """Pure BSDF-sampling path tracing (rendering.rs:209-266): lights visible
+    at every depth, one trace per bounce, same RR schedule."""
+    n = ray_o.shape[0]
+    dtype = ray_o.dtype
+
+    class S(NamedTuple):
+        bounce: jnp.ndarray
+        ray_o: jnp.ndarray
+        ray_d: jnp.ndarray
+        prefix: jnp.ndarray
+        radiance: jnp.ndarray
+        alive: jnp.ndarray
+
+    state = S(
+        bounce=jnp.int32(0),
+        ray_o=ray_o,
+        ray_d=ray_d,
+        prefix=jnp.ones((n, 3), dtype),
+        radiance=jnp.zeros((n, 3), dtype),
+        alive=jnp.ones((n,), bool),
+    )
+
+    def cond(s: S):
+        return (s.bounce < max_bounces) & jnp.any(s.alive)
+
+    def body(s: S) -> S:
+        u = rng_ops.bounce_uniforms(keys, s.bounce, dtype=dtype)
+        hit = intersect(scene, s.ray_o, s.ray_d, EPS, jnp.inf)
+        emis = hit.valid & bsdf_ops.is_emissive(scene, hit.mat)
+
+        radiance = s.radiance + jnp.where(
+            (s.alive & emis)[:, None],
+            vec.finite_or_zero(s.prefix * bsdf_ops.emitted(scene, hit.mat)),
+            0.0,
+        )
+
+        i = -s.ray_d
+        eta_s = bsdf_ops.eta_ratio(scene, hit.mat, hit.front_face)
+        o_dir, bsdf_s, pdf_s, cos_s = bsdf_ops.sample_bsdf(
+            scene,
+            hit.mat,
+            i,
+            eta_s,
+            hit.normal,
+            u[:, rng_ops.SLOT_BSDF_U],
+            u[:, rng_ops.SLOT_BSDF_V],
+            u[:, rng_ops.SLOT_FRESNEL],
+        )
+        factor = bsdf_s * (cos_s / pdf_s)[:, None]
+        next_tp = s.prefix * factor
+        rr = _rr_probability(s.bounce, next_tp)
+        survive = u[:, rng_ops.SLOT_RR] < rr
+
+        cont = s.alive & hit.valid & ~emis & survive
+        prefix = jnp.where(
+            cont[:, None], vec.finite_or_zero(s.prefix * factor / rr[:, None]), s.prefix
+        )
+        return S(
+            bounce=s.bounce + 1,
+            ray_o=hit.point,
+            ray_d=o_dir,
+            prefix=prefix,
+            radiance=radiance,
+            alive=cont,
+        )
+
+    return jax.lax.while_loop(cond, body, state).radiance

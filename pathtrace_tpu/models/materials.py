@@ -1,0 +1,79 @@
+"""Material descriptions (host-side scene-building API).
+
+Counterparts of the reference material structs (material.rs, mirror.rs). These
+are plain frozen dataclasses used by :class:`~pathtrace_tpu.models.scene.SceneBuilder`
+to populate the device-resident material table; the actual BSDF math lives in
+:mod:`pathtrace_tpu.ops.bsdf` as branchless masked lanes selected by
+``mat_kind`` — the TPU replacement for the reference's ``Box<dyn Material>``
+dynamic dispatch (object.rs:9-14).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+Color = Tuple[float, float, float]
+
+# Material-kind codes in the device table.
+KIND_LAMBERT = 0
+KIND_EMISSIVE = 1
+KIND_MIRROR = 2
+KIND_OREN_NAYAR = 3
+
+
+@dataclass(frozen=True)
+class Lambertian:
+    """Cosine-weighted Lambertian diffuse (material.rs:67-123)."""
+
+    albedo: Color
+
+
+@dataclass(frozen=True)
+class Emissive:
+    """Black-body area light: zero BSDF, constant radiance (material.rs:125-163)."""
+
+    emission: Color
+
+
+@dataclass(frozen=True)
+class Mirror:
+    """GGX microfacet metal/dielectric with VNDF sampling and stochastic
+    reflect/refract selection (mirror.rs:5-320)."""
+
+    roughness: float
+    color: Color = (1.0, 1.0, 1.0)
+    metallic: float = 0.0
+    ior: float = 1.5
+
+
+@dataclass(frozen=True)
+class OrenNayar:
+    """Qualitative Oren–Nayar diffuse (material.rs:165-296). Exported but unused
+    by the reference's scene; a first-class lane here."""
+
+    albedo: Color
+    roughness: float
+
+
+Material = Lambertian | Emissive | Mirror | OrenNayar
+
+
+def material_row(m: Material):
+    """Flatten a material into the device table row
+    ``(kind, color, emission, roughness, metallic, ior)``."""
+    if isinstance(m, Lambertian):
+        return (KIND_LAMBERT, m.albedo, (0.0, 0.0, 0.0), 0.0, 0.0, 1.0)
+    if isinstance(m, Emissive):
+        return (KIND_EMISSIVE, (0.0, 0.0, 0.0), m.emission, 0.0, 0.0, 1.0)
+    if isinstance(m, Mirror):
+        return (KIND_MIRROR, m.color, (0.0, 0.0, 0.0), m.roughness, m.metallic, m.ior)
+    if isinstance(m, OrenNayar):
+        return (KIND_OREN_NAYAR, m.albedo, (0.0, 0.0, 0.0), m.roughness, 0.0, 1.0)
+    raise TypeError(f"unknown material {m!r}")
+
+
+def is_emissive(m: Material) -> bool:
+    """Light auto-detection probe, mirroring the emit()>0 check
+    (world.rs:213-225)."""
+    return isinstance(m, Emissive) and any(c > 0.0 for c in m.emission)

@@ -1,0 +1,184 @@
+"""Device-resident structure-of-arrays scene representation.
+
+The reference stores a ``Vec<Object>`` of boxed shape+material trait objects and
+intersects them with a linear scan of virtual calls (world.rs:270-290,
+object.rs:9-31). On TPU that becomes parallel flat arrays: a triangle soup, a
+sphere list, a material table, and a light-primitive index list — everything a
+wave of rays needs, gatherable by integer id with zero indirection.
+
+Primitive ids are global: ``0..T-1`` are triangles, ``T..T+S-1`` are spheres.
+All arrays are padded to at least one element (degenerate, far away, never hit)
+so every jitted shape is static and non-empty.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..utils import vec
+from . import materials as mat
+
+
+@struct.dataclass
+class Scene:
+    # Triangles: v0 plus edge vectors (Möller–Trumbore operands, shape.rs:163-164)
+    tri_v0: jnp.ndarray   # (T, 3)
+    tri_e1: jnp.ndarray   # (T, 3)
+    tri_e2: jnp.ndarray   # (T, 3)
+    tri_normal: jnp.ndarray  # (T, 3) unit geometric normal normalize(e1×e2)
+    tri_area: jnp.ndarray    # (T,)  |e1×e2|/2
+    tri_mat: jnp.ndarray  # (T,) int32
+
+    # Spheres
+    sph_center: jnp.ndarray  # (S, 3)
+    sph_radius: jnp.ndarray  # (S,)
+    sph_mat: jnp.ndarray     # (S,) int32
+
+    # Material table
+    mat_kind: jnp.ndarray       # (M,) int32 (materials.KIND_*)
+    mat_color: jnp.ndarray      # (M, 3) albedo / specular color
+    mat_emission: jnp.ndarray   # (M, 3)
+    mat_roughness: jnp.ndarray  # (M,)
+    mat_metallic: jnp.ndarray   # (M,)
+    mat_ior: jnp.ndarray        # (M,)
+
+    # Emissive primitive ids (auto-detected, world.rs:213-225)
+    light_prims: jnp.ndarray  # (L,) int32
+
+    num_tris: int = struct.field(pytree_node=False)
+    num_spheres: int = struct.field(pytree_node=False)
+    num_lights: int = struct.field(pytree_node=False)
+
+    @property
+    def num_prims(self) -> int:
+        return self.num_tris + self.num_spheres
+
+    def prim_mat(self, prim: jnp.ndarray) -> jnp.ndarray:
+        """Material id for a global primitive id (clipped gather; padded rows
+        are never selected by a valid hit)."""
+        t = self.tri_mat.shape[0]
+        is_tri = prim < t
+        tm = self.tri_mat[jnp.clip(prim, 0, t - 1)]
+        sm = self.sph_mat[jnp.clip(prim - t, 0, self.sph_mat.shape[0] - 1)]
+        return jnp.where(is_tri, tm, sm)
+
+
+class SceneBuilder:
+    """Python scene-construction API mirroring ``World::new`` ergonomics
+    (world.rs:65-241) but producing the SoA device scene."""
+
+    def __init__(self, dtype=jnp.float32):
+        self.dtype = dtype
+        self._tris: List[Tuple[np.ndarray, np.ndarray, np.ndarray, int]] = []
+        self._sphs: List[Tuple[np.ndarray, float, int]] = []
+        self._mats: List[mat.Material] = []
+
+    def _mat_id(self, m: mat.Material) -> int:
+        try:
+            return self._mats.index(m)
+        except ValueError:
+            self._mats.append(m)
+            return len(self._mats) - 1
+
+    def add_triangle(self, v0, v1, v2, material: mat.Material) -> "SceneBuilder":
+        mid = self._mat_id(material)
+        self._tris.append(
+            (np.asarray(v0, np.float64), np.asarray(v1, np.float64), np.asarray(v2, np.float64), mid)
+        )
+        return self
+
+    def add_quad(self, v0, v1, v2, v3, material: mat.Material) -> "SceneBuilder":
+        """Two triangles (v0,v1,v2) and (v0,v2,v3)."""
+        self.add_triangle(v0, v1, v2, material)
+        self.add_triangle(v0, v2, v3, material)
+        return self
+
+    def add_sphere(self, center, radius: float, material: mat.Material) -> "SceneBuilder":
+        mid = self._mat_id(material)
+        self._sphs.append((np.asarray(center, np.float64), float(radius), mid))
+        return self
+
+    def add_mesh(self, vertices, faces, material: mat.Material) -> "SceneBuilder":
+        """Triangle mesh: ``vertices (V,3)`` float, ``faces (F,3)`` int."""
+        vertices = np.asarray(vertices, np.float64)
+        faces = np.asarray(faces, np.int64)
+        mid = self._mat_id(material)
+        for f in faces:
+            self._tris.append((vertices[f[0]], vertices[f[1]], vertices[f[2]], mid))
+        return self
+
+    def build(self) -> Scene:
+        dtype = self.dtype
+        num_tris = len(self._tris)
+        num_sphs = len(self._sphs)
+
+        # Pad with one degenerate primitive so shapes are never empty:
+        # a zero-edge triangle never passes Möller–Trumbore's parallel test,
+        # and a zero-radius sphere at 1e9 never intersects scene rays.
+        tris = self._tris or []
+        sphs = self._sphs or []
+        mats = list(self._mats) or [mat.Lambertian((0.0, 0.0, 0.0))]
+
+        t_pad = max(num_tris, 1)
+        s_pad = max(num_sphs, 1)
+
+        tri_v0 = np.zeros((t_pad, 3)); tri_e1 = np.zeros((t_pad, 3)); tri_e2 = np.zeros((t_pad, 3))
+        tri_mat_arr = np.zeros((t_pad,), np.int32)
+        for i, (v0, v1, v2, mid) in enumerate(tris):
+            tri_v0[i] = v0; tri_e1[i] = v1 - v0; tri_e2[i] = v2 - v0
+            tri_mat_arr[i] = mid
+        tri_cross = np.cross(tri_e1, tri_e2)
+        tri_norm = np.linalg.norm(tri_cross, axis=-1, keepdims=True)
+        tri_normal = np.where(tri_norm > 0, tri_cross / np.where(tri_norm > 0, tri_norm, 1.0), 0.0)
+        tri_area = tri_norm[:, 0] * 0.5
+
+        sph_center = np.full((s_pad, 3), 1e9); sph_radius = np.zeros((s_pad,))
+        sph_mat_arr = np.zeros((s_pad,), np.int32)
+        for i, (c, r, mid) in enumerate(sphs):
+            sph_center[i] = c; sph_radius[i] = r
+            sph_mat_arr[i] = mid
+
+        rows = [mat.material_row(m) for m in mats]
+        mat_kind = np.asarray([r[0] for r in rows], np.int32)
+        mat_color = np.asarray([r[1] for r in rows])
+        mat_emission = np.asarray([r[2] for r in rows])
+        mat_roughness = np.asarray([r[3] for r in rows])
+        mat_metallic = np.asarray([r[4] for r in rows])
+        mat_ior = np.asarray([r[5] for r in rows])
+
+        # Auto-detect lights by probing material emission (world.rs:213-225).
+        light_ids: List[int] = []
+        for i, (_, _, _, mid) in enumerate(tris):
+            if mat.is_emissive(mats[mid]):
+                light_ids.append(i)
+        for i, (_, _, mid) in enumerate(sphs):
+            if mat.is_emissive(mats[mid]):
+                light_ids.append(num_tris + i)
+        num_lights = len(light_ids)
+        light_prims = np.asarray(light_ids or [0], np.int32)
+
+        return Scene(
+            tri_v0=jnp.asarray(tri_v0, dtype),
+            tri_e1=jnp.asarray(tri_e1, dtype),
+            tri_e2=jnp.asarray(tri_e2, dtype),
+            tri_normal=jnp.asarray(tri_normal, dtype),
+            tri_area=jnp.asarray(tri_area, dtype),
+            tri_mat=jnp.asarray(tri_mat_arr),
+            sph_center=jnp.asarray(sph_center, dtype),
+            sph_radius=jnp.asarray(sph_radius, dtype),
+            sph_mat=jnp.asarray(sph_mat_arr),
+            mat_kind=jnp.asarray(mat_kind),
+            mat_color=jnp.asarray(mat_color, dtype),
+            mat_emission=jnp.asarray(mat_emission, dtype),
+            mat_roughness=jnp.asarray(mat_roughness, dtype),
+            mat_metallic=jnp.asarray(mat_metallic, dtype),
+            mat_ior=jnp.asarray(mat_ior, dtype),
+            light_prims=jnp.asarray(light_prims),
+            num_tris=num_tris,
+            num_spheres=num_sphs,
+            num_lights=num_lights,
+        )
