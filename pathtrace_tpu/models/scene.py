@@ -151,13 +151,15 @@ class SceneBuilder:
         mat_ior = np.asarray([r[5] for r in rows])
 
         # Auto-detect lights by probing material emission (world.rs:213-225).
+        # Global prim ids use the PADDED triangle row count as the sphere
+        # offset — the same namespace ops.intersect assigns hit prim ids in.
         light_ids: List[int] = []
         for i, (_, _, _, mid) in enumerate(tris):
             if mat.is_emissive(mats[mid]):
                 light_ids.append(i)
         for i, (_, _, mid) in enumerate(sphs):
             if mat.is_emissive(mats[mid]):
-                light_ids.append(num_tris + i)
+                light_ids.append(t_pad + i)
         num_lights = len(light_ids)
         light_prims = np.asarray(light_ids or [0], np.int32)
 

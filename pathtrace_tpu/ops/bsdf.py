@@ -59,7 +59,11 @@ def is_emissive(scene: Scene, mid):
 # ---------------------------------------------------------------------------
 
 def _ggx_d(alpha2, n_dot_h):
-    denom = (n_dot_h * n_dot_h) * (alpha2 - 1.0) + 1.0
+    # Algebraically nh²(α²-1)+1 (mirror.rs:69), but computed as
+    # α²c² + (1-c)(1+c): the reference's f64 form cancels catastrophically in
+    # f32 when nh→1 and α is small (denominator ~α² ≪ f32 eps around 1).
+    c = jnp.minimum(jnp.abs(n_dot_h), 1.0)
+    denom = alpha2 * c * c + (1.0 - c) * (1.0 + c)
     return alpha2 / (_PI * denom * denom)
 
 
@@ -269,7 +273,8 @@ def _sample_mirror(m, i, normal, eta, r1, r2, u_coin):
     fail = i_h <= 0.0  # mirror.rs:215-217
 
     fresnel = _fresnel(m["color"], m["metallic"], m["ior"], i_h)
-    sin2_i = 1.0 - i_h * i_h
+    # sin²θi = (1-i_h)(1+i_h): stable near normal incidence in f32.
+    sin2_i = (1.0 - i_h) * (1.0 + i_h)
     cos2_t = 1.0 - (eta * eta) * sin2_i
     total_reflection = cos2_t < 0.0
 

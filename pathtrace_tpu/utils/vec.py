@@ -65,7 +65,8 @@ def refract(incident, normal, eta):
     """
     eta = jnp.asarray(eta)
     cos_i = -dot(incident, normal)
-    sin2_t = eta * eta * (1.0 - cos_i * cos_i)
+    # (1-c)(1+c) rather than 1-c²: f32-stable near normal incidence.
+    sin2_t = eta * eta * ((1.0 - cos_i) * (1.0 + cos_i))
     valid = sin2_t <= 1.0
     cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
     refracted = incident * eta[..., None] + normal * (eta * cos_i - cos_t)[..., None]

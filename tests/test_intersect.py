@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtrace_tpu.models.materials import Lambertian
+from pathtrace_tpu.models.scene import SceneBuilder
+from pathtrace_tpu.models import scenes
+from pathtrace_tpu.ops.intersect import intersect, occluded
+
+
+def rays(*pairs):
+    o = jnp.asarray([p[0] for p in pairs], jnp.float32)
+    d = jnp.asarray([p[1] for p in pairs], jnp.float32)
+    return o, d
+
+
+def test_sphere_hit_and_range():
+    sc = SceneBuilder().add_sphere((0, 0, -5), 1.0, Lambertian((1, 1, 1))).build()
+    o, d = rays(
+        (((0, 0, 0)), (0, 0, -1)),   # head-on → t=4
+        (((0, 0, 0)), (0, 0, 1)),    # away → miss
+        (((0, 0, -5)), (0, 0, -1)),  # from inside → exits at t=1 (far root)
+        (((0, 3, 0)), (0, 0, -1)),   # offset → miss
+    )
+    h = intersect(sc, o, d, 1e-3, jnp.inf)
+    np.testing.assert_allclose(np.asarray(h.t)[[0, 2]], [4.0, 1.0], atol=1e-5)
+    assert list(np.asarray(h.valid)) == [True, False, True, False]
+    # front_face: outside hit True, inside hit False with flipped normal (base.rs:19-33)
+    assert bool(h.front_face[0]) and not bool(h.front_face[2])
+    np.testing.assert_allclose(np.asarray(h.normal[0]), [0, 0, 1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h.normal[2]), [0, 0, 1], atol=1e-5)
+
+
+def test_sphere_tmax_skips_to_far_root():
+    sc = SceneBuilder().add_sphere((0, 0, -5), 1.0, Lambertian((1, 1, 1))).build()
+    o, d = rays((((0, 0, 0)), (0, 0, -1)))
+    # t_min beyond the near root (4) → the far root (6) must be taken (shape.rs:76-81)
+    h = intersect(sc, o, d, 5.0, jnp.inf)
+    np.testing.assert_allclose(float(h.t[0]), 6.0, atol=1e-5)
+
+
+def test_triangle_hit_barycentric_and_parallel():
+    sc = (
+        SceneBuilder()
+        .add_triangle((0, 0, -2), (2, 0, -2), (0, 2, -2), Lambertian((1, 1, 1)))
+        .build()
+    )
+    o, d = rays(
+        (((0.5, 0.5, 0)), (0, 0, -1)),   # inside
+        (((1.5, 1.5, 0)), (0, 0, -1)),   # outside (u+v>1)
+        (((-0.1, 0.5, 0)), (0, 0, -1)),  # outside (u<0)
+        (((0.5, 0.5, 0)), (1, 0, 0)),    # parallel to plane
+        (((0, 0, 0)), (0, 0, -1)),       # vertex hit (u=v=0 inclusive)
+    )
+    h = intersect(sc, o, d, 1e-3, jnp.inf)
+    assert list(np.asarray(h.valid)) == [True, False, False, False, True]
+    np.testing.assert_allclose(float(h.t[0]), 2.0, atol=1e-5)
+
+
+def test_closest_hit_across_prim_kinds():
+    sc = (
+        SceneBuilder()
+        .add_triangle((-5, -5, -3), (5, -5, -3), (0, 5, -3), Lambertian((1, 0, 0)))
+        .add_sphere((0, 0, -6), 1.0, Lambertian((0, 1, 0)))
+        .build()
+    )
+    o, d = rays((((0, 0, 0)), (0, 0, -1)))
+    h = intersect(sc, o, d, 1e-3, jnp.inf)
+    assert int(h.prim[0]) == 0  # triangle at t=3 in front of sphere at t=5
+    h2 = intersect(sc, o, d, 4.0, jnp.inf)
+    assert int(h2.prim[0]) == 1  # skipping the triangle finds the sphere
+
+
+def test_occlusion_window():
+    sc = SceneBuilder().add_sphere((0, 0, -5), 1.0, Lambertian((1, 1, 1))).build()
+    o, d = rays((((0, 0, 0)), (0, 0, -1)))
+    assert bool(occluded(sc, o, d, 1e-3, jnp.asarray([10.0]))[0])
+    # shadow window ends before the sphere → visible
+    assert not bool(occluded(sc, o, d, 1e-3, jnp.asarray([3.5]))[0])
+
+
+def test_tile_size_invariance():
+    sc = scenes.cornell_box()
+    key = jax.random.key(0)
+    o = jax.random.uniform(key, (256, 3), minval=-0.9, maxval=0.9) + jnp.asarray([0, 0, -2.0])
+    d = jax.random.normal(jax.random.key(1), (256, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    h1 = intersect(sc, o, d, 1e-3, jnp.inf, tile=4)
+    h2 = intersect(sc, o, d, 1e-3, jnp.inf, tile=1024)
+    np.testing.assert_array_equal(np.asarray(h1.prim), np.asarray(h2.prim))
+    np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t), rtol=1e-6)
+
+
+def test_cornell_scene_structure():
+    sc = scenes.cornell_box()
+    assert sc.num_tris == 12 and sc.num_spheres == 1
+    assert sc.num_lights == 2
+    assert list(np.asarray(sc.light_prims)) == [10, 11]

@@ -1,0 +1,104 @@
+import os
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+
+from pathtrace_tpu.models import scenes
+from pathtrace_tpu.render import RenderConfig, RenderState, render, to_srgb_u8
+from pathtrace_tpu import io as ptio
+
+SMALL = dict(width=32, height=32)
+
+
+def test_render_finite_and_lit():
+    st = render(
+        scenes.cornell_box(),
+        scenes.cornell_camera(**SMALL),
+        RenderConfig(**SMALL, spp=4, integrator="mis"),
+    )
+    img = np.asarray(st.image)
+    assert np.isfinite(img).all()
+    assert img.max() > 1.0  # the light is visible
+    assert img.min() >= 0.0
+
+
+def test_deterministic_same_seed():
+    sc = scenes.cornell_box()
+    cam = scenes.cornell_camera(**SMALL)
+    cfg = RenderConfig(**SMALL, spp=4, integrator="mis", seed=7)
+    a = np.asarray(render(sc, cam, cfg).image)
+    b = np.asarray(render(sc, cam, cfg).image)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_resume_bitwise_equal():
+    """Progressive accumulation is the checkpoint: rendering 4 spp in one go
+    must equal 2 spp + resume of 2 more, bitwise — the counter-based RNG keys
+    samples by (pixel, sample) index, not by batch."""
+    sc = scenes.cornell_box()
+    cam = scenes.cornell_camera(**SMALL)
+    full = render(sc, cam, RenderConfig(**SMALL, spp=4, seed=3))
+    half = render(sc, cam, RenderConfig(**SMALL, spp=2, seed=3))
+    resumed = render(sc, cam, RenderConfig(**SMALL, spp=4, seed=3), state=half)
+    np.testing.assert_array_equal(np.asarray(full.image_sum), np.asarray(resumed.image_sum))
+    assert resumed.num_samples == 4
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    sc = scenes.cornell_box()
+    cam = scenes.cornell_camera(**SMALL)
+    st = render(sc, cam, RenderConfig(**SMALL, spp=2, seed=1))
+    p = os.path.join(tmp_path, "ckpt.npz")
+    st.save(p)
+    st2 = RenderState.load(p)
+    np.testing.assert_array_equal(np.asarray(st.image_sum), np.asarray(st2.image_sum))
+    full_a = render(sc, cam, RenderConfig(**SMALL, spp=3, seed=1), state=st2)
+    full_b = render(sc, cam, RenderConfig(**SMALL, spp=3, seed=1))
+    np.testing.assert_array_equal(np.asarray(full_a.image_sum), np.asarray(full_b.image_sum))
+
+
+def test_pixel_chunking_equivalent():
+    sc = scenes.cornell_box()
+    cam = scenes.cornell_camera(**SMALL)
+    a = render(sc, cam, RenderConfig(**SMALL, spp=2, seed=2))
+    b = render(sc, cam, RenderConfig(**SMALL, spp=2, seed=2, pixel_chunk=128))
+    np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image), atol=1e-6)
+
+
+def test_all_integrators_run():
+    sc = scenes.cornell_box()
+    cam = scenes.cornell_camera(**SMALL)
+    for integ in ("mis", "nee", "brdf_only"):
+        st = render(sc, cam, RenderConfig(**SMALL, spp=2, integrator=integ))
+        assert np.isfinite(np.asarray(st.image)).all(), integ
+
+
+def test_srgb_and_png_and_csv(tmp_path):
+    sc = scenes.cornell_box()
+    cam = scenes.cornell_camera(**SMALL)
+    st = render(sc, cam, RenderConfig(**SMALL, spp=2))
+    u8 = to_srgb_u8(st.image)
+    assert u8.dtype == np.uint8 and u8.shape == (32, 32, 3)
+    png = os.path.join(tmp_path, "img.png")
+    ptio.write_png(u8, png)
+    assert open(png, "rb").read(8) == b"\x89PNG\r\n\x1a\n"
+    csv = os.path.join(tmp_path, "lum.csv")
+    ptio.export_luminance_csv(np.asarray(st.image), csv)
+    back = ptio.import_luminance_csv(csv)
+    np.testing.assert_allclose(back, np.asarray(st.image), atol=1e-5)
+
+
+def test_default_and_many_sphere_scenes():
+    st = render(
+        scenes.default_spheres(),
+        scenes.default_spheres_camera(32, 32),
+        RenderConfig(**SMALL, spp=2),
+    )
+    assert np.isfinite(np.asarray(st.image)).all()
+    st2 = render(
+        scenes.many_spheres(n_per_side=3),
+        scenes.many_spheres_camera(32, 32),
+        RenderConfig(**SMALL, spp=1),
+    )
+    assert np.isfinite(np.asarray(st2.image)).all()
