@@ -56,6 +56,7 @@ class _WaveState(NamedTuple):
     prefix: jnp.ndarray
     radiance: jnp.ndarray
     alive: jnp.ndarray
+    rays: jnp.ndarray  # scene-traversal ray-query counter (per-wave metric)
 
 
 def _rr_probability(bounce, next_throughput):
@@ -69,7 +70,7 @@ def _rr_probability(bounce, next_throughput):
     )
 
 
-@partial(jax.jit, static_argnames=("integrator", "max_bounces"))
+@partial(jax.jit, static_argnames=("integrator", "max_bounces", "return_stats"))
 def trace_wave(
     scene: Scene,
     ray_o: jnp.ndarray,
@@ -77,8 +78,12 @@ def trace_wave(
     keys: jax.Array,
     integrator: str = "mis",
     max_bounces: int = 64,
-) -> jnp.ndarray:
-    """Estimate radiance for a wave of primary rays. Returns ``(N, 3)``.
+    return_stats: bool = False,
+):
+    """Estimate radiance for a wave of primary rays. Returns ``(N, 3)``, or
+    ``(radiance, ray_queries)`` when ``return_stats`` — ray_queries is the
+    total number of scene-traversal ray tests issued (primary + shadow + peek),
+    the numerator of the Mrays/s throughput metric.
 
     ``keys``: per-ray threefry keys (pixel, sample) — bounce indices are folded
     in internally, so results are independent of wave batching.
@@ -86,8 +91,12 @@ def trace_wave(
     if integrator not in INTEGRATORS:
         raise ValueError(f"unknown integrator {integrator!r}; expected {INTEGRATORS}")
     if integrator == "brdf_only":
-        return _trace_brdf_only(scene, ray_o, ray_d, keys, max_bounces)
-    return _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis=integrator == "mis")
+        radiance, rays = _trace_brdf_only(scene, ray_o, ray_d, keys, max_bounces)
+    else:
+        radiance, rays = _trace_nee_mis(
+            scene, ray_o, ray_d, keys, max_bounces, use_mis=integrator == "mis"
+        )
+    return (radiance, rays) if return_stats else radiance
 
 
 def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
@@ -100,14 +109,17 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
     radiance = jnp.where(emis0[:, None], bsdf_ops.emitted(scene, hit0.mat), 0.0)
     alive = hit0.valid & ~emis0
 
+    # Carry initializers derive from the (possibly sharded) inputs so their
+    # varying-axes match the loop body's outputs under shard_map.
     state = _WaveState(
         bounce=jnp.int32(0),
         ray_d=ray_d,
-        ray_eta=jnp.ones((n,), dtype),
+        ray_eta=jnp.ones_like(ray_d[..., 0]),
         hit=hit0,
-        prefix=jnp.ones((n, 3), dtype),
+        prefix=jnp.ones_like(ray_d),
         radiance=radiance,
         alive=alive,
+        rays=jnp.sum(jnp.ones_like(ray_d[..., 0], dtype=jnp.int32)),
     )
 
     def cond(s: _WaveState):
@@ -204,10 +216,11 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
             prefix=prefix,
             radiance=radiance,
             alive=cont,
+            rays=s.rays + 2 * jnp.sum(s.alive).astype(s.rays.dtype),  # shadow + peek
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    return final.radiance
+    return final.radiance, final.rays
 
 
 def _trace_brdf_only(scene, ray_o, ray_d, keys, max_bounces):
@@ -223,14 +236,16 @@ def _trace_brdf_only(scene, ray_o, ray_d, keys, max_bounces):
         prefix: jnp.ndarray
         radiance: jnp.ndarray
         alive: jnp.ndarray
+        rays: jnp.ndarray
 
     state = S(
         bounce=jnp.int32(0),
         ray_o=ray_o,
         ray_d=ray_d,
-        prefix=jnp.ones((n, 3), dtype),
-        radiance=jnp.zeros((n, 3), dtype),
-        alive=jnp.ones((n,), bool),
+        prefix=jnp.ones_like(ray_d),
+        radiance=jnp.zeros_like(ray_d),
+        alive=jnp.ones_like(ray_d[..., 0], dtype=bool),
+        rays=jnp.sum(jnp.zeros_like(ray_d[..., 0], dtype=jnp.int32)),
     )
 
     def cond(s: S):
@@ -275,6 +290,8 @@ def _trace_brdf_only(scene, ray_o, ray_d, keys, max_bounces):
             prefix=prefix,
             radiance=radiance,
             alive=cont,
+            rays=s.rays + jnp.sum(s.alive).astype(s.rays.dtype),
         )
 
-    return jax.lax.while_loop(cond, body, state).radiance
+    final = jax.lax.while_loop(cond, body, state)
+    return final.radiance, final.rays

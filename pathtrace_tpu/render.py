@@ -103,7 +103,10 @@ def render_batch(
         )
         return acc + radiance
 
-    acc0 = jnp.zeros((pixel_ids.shape[0], 3), dtype=camera.origin.dtype)
+    # Derive the accumulator from pixel_ids so its varying-axes match the loop
+    # body under shard_map (a plain zeros() would be device-invariant).
+    zero = (pixel_ids * 0).astype(camera.origin.dtype)[:, None]
+    acc0 = jnp.zeros((pixel_ids.shape[0], 3), dtype=camera.origin.dtype) + zero
     return jax.lax.fori_loop(0, samples_per_batch, one_sample, acc0)
 
 

@@ -1,0 +1,59 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtrace_tpu.models import scenes
+from pathtrace_tpu.parallel.sharding import frames_sharded, make_mesh, render_sharded
+from pathtrace_tpu.render import RenderConfig, render
+
+W = H = 32
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return scenes.cornell_box()
+
+
+@pytest.fixture(scope="module")
+def camera():
+    return scenes.cornell_camera(W, H)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("dp,sp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_matches_single_device(scene, camera, dp, sp):
+    """Any mesh shape must reproduce the single-device image — counter-based
+    RNG makes distribution across chips invisible to the estimator. Tolerance
+    covers float reassociation across different XLA fusion choices only."""
+    cfg = RenderConfig(width=W, height=H, spp=8, integrator="mis", seed=9,
+                       samples_per_batch=8)
+    ref = np.asarray(render(scene, camera, cfg).image_sum)
+    mesh = make_mesh(dp=dp, sp=sp)
+    out = np.asarray(render_sharded(scene, camera, cfg, mesh).image_sum)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=5e-3)
+
+
+def test_sharded_nonuniform_pixel_count(scene, camera):
+    # 32*32=1024 divides 8; use a 6-device mesh shape instead to force padding
+    mesh = make_mesh(jax.devices()[:6], dp=6, sp=1)
+    cfg = RenderConfig(width=W, height=H, spp=4, seed=2, samples_per_batch=4)
+    ref = np.asarray(render(scene, camera, cfg).image_sum)
+    out = np.asarray(render_sharded(scene, camera, cfg, mesh).image_sum)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_frames_batched(scene):
+    cams = [
+        scenes.cornell_camera(W, H),
+        scenes.cornell_camera(W, H),
+    ]
+    cfg = RenderConfig(width=W, height=H, spp=2, seed=0, samples_per_batch=2)
+    imgs = frames_sharded(scene, cams, cfg, make_mesh(dp=4, sp=2))
+    assert imgs.shape == (2, H, W, 3)
+    np.testing.assert_allclose(np.asarray(imgs[0]), np.asarray(imgs[1]), atol=1e-6)
