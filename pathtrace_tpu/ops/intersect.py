@@ -92,6 +92,94 @@ def sphere_hit_ts(center, radius, o, d, t_min, t_max):
     return jnp.where(ok1, root1, jnp.where(ok2, root2, _INF))
 
 
+def sphere_hit_ts_mxu(center, radius, o, d, t_min, t_max):
+    """MXU formulation of the half-b quadratic: the ray⊗sphere coupling terms
+    ``d·c`` and ``o·c`` are (N,3)@(3,S) matmuls, so no (N,S,3) temporaries ever
+    materialize — the elementwise tail runs on (N,S) planes only. Same math
+    and range semantics as :func:`sphere_hit_ts` (shape.rs:53-89)."""
+    dc = jnp.dot(d, center.T, preferred_element_type=o.dtype,
+                 precision=jax.lax.Precision.HIGHEST)            # (N,S)
+    oc = jnp.dot(o, center.T, preferred_element_type=o.dtype,
+                 precision=jax.lax.Precision.HIGHEST)            # (N,S)
+    od = vec.dot(o, d)[:, None]
+    oo = vec.dot(o, o)[:, None]
+    cc = vec.dot(center, center)[None, :]
+    a = vec.dot(d, d)[:, None]
+
+    half_b = od - dc
+    c = oo - 2.0 * oc + cc - (radius * radius)[None, :]
+    disc = half_b * half_b - a * c
+    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    root1 = (-half_b - sqrtd) / a
+    root2 = (-half_b + sqrtd) / a
+    live = (disc >= 0.0) & (radius > 0.0)[None, :]
+    ok1 = live & (root1 >= t_min) & (root1 <= t_max)
+    ok2 = live & (root2 >= t_min) & (root2 <= t_max)
+    return jnp.where(ok1, root1, jnp.where(ok2, root2, _INF))
+
+
+def triangle_hit_ts_mxu(v0, e1, e2, o, d, t_min, t_max):
+    """MXU formulation of the triangle test via Plücker side-products.
+
+    For directed edges (v0→v1, v1→v2, v2→v0) with Plücker coords (e, m=a×b),
+    the signed side test against ray (d, q=o×d) is ``w = d·m + q·e`` — linear
+    in per-triangle constants ⊗ per-ray features, i.e. one (N,6)@(6,3T)
+    matmul. A hit needs all three w of one sign; t comes from the plane
+    equation. Accepts the same hits as Möller–Trumbore (shape.rs:161-198)
+    including its |a|<1e-8 parallel reject (a ≡ -n·d)."""
+    dtype = o.dtype
+    va = v0
+    vb = v0 + e1
+    vc = v0 + e2
+    n = vec.cross(e1, e2)                       # unnormalized normal (T,3)
+    npl = vec.dot(n, v0)                        # plane offset (T,)
+
+    # Edge Plücker moments m = a×b for each directed edge.
+    m_ab = vec.cross(va, vb)
+    m_bc = vec.cross(vb, vc)
+    m_ca = vec.cross(vc, va)
+    e_ab = vb - va
+    e_bc = vc - vb
+    e_ca = va - vc
+
+    # Triangle feature matrix (6, 3T+2T): side tests + [n·o term, n·d term]
+    feats = jnp.concatenate(
+        [
+            jnp.concatenate([m_ab, e_ab], axis=1),   # (T,6)
+            jnp.concatenate([m_bc, e_bc], axis=1),
+            jnp.concatenate([m_ca, e_ca], axis=1),
+        ],
+        axis=0,
+    )                                                # (3T, 6)
+
+    q = vec.cross(o, d)                              # (N,3)
+    ray_feats = jnp.concatenate([d, q], axis=1)      # (N,6)
+    w = jnp.dot(ray_feats, feats.T, preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST)  # (N,3T)
+    t_count = v0.shape[0]
+    w0 = w[:, :t_count]
+    w1 = w[:, t_count : 2 * t_count]
+    w2 = w[:, 2 * t_count :]
+
+    n_dot_d = jnp.dot(d, n.T, preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST)       # (N,T)
+    n_dot_o = jnp.dot(o, n.T, preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST)       # (N,T)
+    t = (npl[None, :] - n_dot_o) / n_dot_d
+
+    eps = jnp.asarray(0.0, dtype)
+    same_sign = ((w0 >= eps) & (w1 >= eps) & (w2 >= eps)) | (
+        (w0 <= -eps) & (w1 <= -eps) & (w2 <= -eps)
+    )
+    ok = (
+        same_sign
+        & (jnp.abs(n_dot_d) >= 1e-8)   # MT parallel reject: a == -n·d
+        & (t >= t_min)
+        & (t <= t_max)
+    )
+    return jnp.where(ok, t, _INF)
+
+
 def _closest_over_tiles(prim_arrays, hit_fn, o, d, t_min, t_max, tile, base_id):
     """Scan primitive tiles, carrying the running (closest t, prim id)."""
     n_rows = prim_arrays[0].shape[0]
@@ -122,32 +210,75 @@ def _closest_over_tiles(prim_arrays, hit_fn, o, d, t_min, t_max, tile, base_id):
     return best_t, best_p
 
 
+def default_method() -> str:
+    """Pallas kernels on real accelerators; jnp broadcast on CPU (where the
+    Pallas interpreter would be the slow path)."""
+    return "pallas" if jax.default_backend() != "cpu" else "bruteforce"
+
+
 def intersect(
     scene: Scene,
     o: jnp.ndarray,
     d: jnp.ndarray,
     t_min,
     t_max,
-    tile: int = 1024,
+    tile: int | None = None,
+    method: str = "auto",
 ) -> Hit:
     """Closest hit for a wave of rays.
 
     ``t_min``/``t_max`` are scalars or per-ray ``(N,)`` arrays (shadow rays pass
     ``dist - 1e-3``, rendering.rs:62-65).
-    """
-    n = o.shape[0]
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, o.dtype), (n,))[:, None]
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, o.dtype), (n,))[:, None]
 
-    tri_t, tri_p = _closest_over_tiles(
-        (scene.tri_v0, scene.tri_e1, scene.tri_e2),
-        triangle_hit_ts, o, d, t_min, t_max, min(tile, _round_tile(scene.tri_v0.shape[0], 8)), 0,
-    )
-    sph_t, sph_p = _closest_over_tiles(
-        (scene.sph_center, scene.sph_radius),
-        sphere_hit_ts, o, d, t_min, t_max, min(tile, _round_tile(scene.sph_center.shape[0], 8)),
-        scene.tri_v0.shape[0],
-    )
+    ``method``:
+      * ``"pallas"`` — fused TPU kernels (ops/pallas_intersect.py): ray tiles
+        resident in VMEM, primitive soup streamed on-chip, no HBM temps.
+        The production path (~2.5-5x the jnp broadcast).
+      * ``"bruteforce"`` — (N, tile) jnp broadcasts reduced under lax.scan.
+      * ``"mxu"`` — matmul formulation. Kept as an experiment: its K=3
+        matmuls underutilize the systolic array and compile slowly at
+        HIGHEST precision; not selected automatically.
+      * ``"auto"`` — pallas on TPU, bruteforce on CPU.
+    """
+    if method == "auto":
+        method = default_method()
+    n = o.shape[0]
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, o.dtype), (n,))
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, o.dtype), (n,))
+
+    t_rows_real = scene.tri_v0.shape[0]
+    s_rows = scene.sph_center.shape[0]
+
+    if method in ("pallas", "pallas_interpret"):
+        from . import pallas_intersect as pk
+
+        interp = method == "pallas_interpret"
+        tri_t, tri_p = pk.triangle_closest(
+            o, d, t_min_b, t_max_b, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+            interpret=interp,
+        )
+        sph_t, sph_p = pk.sphere_closest(
+            o, d, t_min_b, t_max_b, scene.sph_center, scene.sph_radius,
+            interpret=interp,
+        )
+        sph_p = jnp.where(sph_p >= 0, sph_p + t_rows_real, -1)
+    else:
+        t_min2 = t_min_b[:, None]
+        t_max2 = t_max_b[:, None]
+        mxu = method == "mxu"
+        tri_tile = tile or (256 if mxu else 1024)
+        sph_tile = tile or (512 if mxu else 1024)
+        tri_t, tri_p = _closest_over_tiles(
+            (scene.tri_v0, scene.tri_e1, scene.tri_e2),
+            triangle_hit_ts_mxu if mxu else triangle_hit_ts,
+            o, d, t_min2, t_max2, min(tri_tile, _round_tile(t_rows_real, 8)), 0,
+        )
+        sph_t, sph_p = _closest_over_tiles(
+            (scene.sph_center, scene.sph_radius),
+            sphere_hit_ts_mxu if mxu else sphere_hit_ts,
+            o, d, t_min2, t_max2, min(sph_tile, _round_tile(s_rows, 8)),
+            scene.tri_v0.shape[0],
+        )
 
     sph_better = sph_t < tri_t
     t = jnp.where(sph_better, sph_t, tri_t)
@@ -181,7 +312,7 @@ def intersect(
     )
 
 
-def occluded(scene: Scene, o, d, t_min, t_max, tile: int = 1024) -> jnp.ndarray:
+def occluded(scene: Scene, o, d, t_min, t_max, tile: int | None = None) -> jnp.ndarray:
     """Boolean visibility test (shadow rays). Currently closest-hit based; an
     any-hit early-out is a later Pallas optimization."""
     return intersect(scene, o, d, t_min, t_max, tile=tile).valid

@@ -1,0 +1,231 @@
+"""Fused Pallas TPU kernels for ray–primitive intersection.
+
+The jnp bruteforce path (ops/intersect.py) materializes (N, P)-shaped
+intermediates in HBM — at production wave sizes the traversal is pure HBM
+bandwidth. These kernels keep a tile of rays in registers and stream the
+*entire* primitive soup through VMEM (scene data is tiny: 70k triangles ≈
+2.5 MB), so each ray tile reads HBM exactly once and the (rays × prims)
+intersection math never leaves the chip.
+
+Layout: rays live on the 128-wide lane axis, primitives on the sublane axis —
+every op is a rank-2 (PRIM_TILE, RAY_TILE) VPU broadcast of (PRIM_TILE, 1)
+primitive scalars against (1, RAY_TILE) ray components.
+
+Math matches the reference exactly (same epsilons/ranges as ops.intersect):
+half-b quadratic with near-then-far root selection (shape.rs:53-89) and
+Möller–Trumbore with the 1e-8 parallel reject and inclusive barycentric
+bounds (shape.rs:161-198), with one documented deviation: ray directions are
+assumed unit length (a = d·d = 1), which camera/BSDF sampling guarantees.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RAY_TILE = 512      # rays per grid step (lane axis, multiple of 128)
+PRIM_TILE = 256     # primitives per inner iteration (sublane axis, multiple of 8)
+_INF = float("inf")  # plain python float: jnp constants can't be captured by kernels
+
+
+def _cdiv(a, b):
+    return (a + b - 1) // b
+
+
+def _pad_rows(a, rows, fill=0.0):
+    pad = rows - a.shape[0]
+    if pad == 0:
+        return a
+    return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1), constant_values=fill)
+
+
+# ---------------------------------------------------------------------------
+# Sphere kernel
+# ---------------------------------------------------------------------------
+
+def _sphere_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, t_ref, i_ref,
+                   *, prim_tiles, prim_tile):
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]   # (1, R)
+    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+    t_min = tmin_ref[0:1, :]
+    t_max = tmax_ref[0:1, :]
+
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
+
+    best_t = jnp.full(t_min.shape, _INF)
+    best_i = jnp.full(t_min.shape, -1, jnp.int32)
+
+    def body(s, carry):
+        best_t, best_i = carry
+        sl = pl.ds(s * prim_tile, prim_tile)
+        cx = c_ref[sl, 0:1]   # (P, 1)
+        cy = c_ref[sl, 1:2]
+        cz = c_ref[sl, 2:3]
+        r2 = r2_ref[sl, 0:1]
+
+        cd = cx * dx + cy * dy + cz * dz            # (P, R)
+        co = cx * ox + cy * oy + cz * oz
+        cc = cx * cx + cy * cy + cz * cz
+        half_b = od - cd
+        c = oo - 2.0 * co + cc - r2
+        disc = half_b * half_b - c                   # a == 1 (unit directions)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        root1 = -half_b - sq
+        root2 = -half_b + sq
+        live = (disc >= 0.0) & (r2 > 0.0)
+        ok1 = live & (root1 >= t_min) & (root1 <= t_max)
+        ok2 = live & (root2 >= t_min) & (root2 <= t_max)
+        ts = jnp.where(ok1, root1, jnp.where(ok2, root2, _INF))
+
+        tmin_tile = jnp.min(ts, axis=0, keepdims=True)           # (1, R)
+        arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
+        better = tmin_tile < best_t
+        best_i = jnp.where(better, s * prim_tile + arg, best_i)
+        best_t = jnp.where(better, tmin_tile, best_t)
+        return best_t, best_i
+
+    best_t, best_i = jax.lax.fori_loop(0, prim_tiles, body, (best_t, best_i))
+    t_ref[:, :] = best_t
+    i_ref[:, :] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ray_tile", "prim_tile"))
+def sphere_closest(o, d, t_min, t_max, centers, radius, interpret=False,
+                   ray_tile=RAY_TILE, prim_tile=PRIM_TILE):
+    """Closest sphere hit for a ray wave. Returns ``(t (N,), idx (N,))`` with
+    ``idx = -1`` / ``t = inf`` for misses."""
+    n = o.shape[0]
+    n_pad = _cdiv(n, ray_tile) * ray_tile
+    s_pad = _cdiv(centers.shape[0], prim_tile) * prim_tile
+
+    o_t = _pad_rows(o, n_pad).T          # (3, N)
+    d_t = _pad_rows(d, n_pad, fill=1.0).T
+    tmin_r = _pad_rows(jnp.broadcast_to(t_min, (n,))[:, None], n_pad).T  # (1, N)
+    tmax_r = _pad_rows(jnp.broadcast_to(t_max, (n,))[:, None], n_pad).T
+    c_p = _pad_rows(centers, s_pad, fill=1e9)
+    r2_p = _pad_rows((radius * radius)[:, None] * jnp.sign(radius)[:, None], s_pad)
+    # sign trick keeps radius<=0 rows dead (r2<=0 fails the live test)
+
+    grid = (n_pad // ray_tile,)
+    t_out, i_out = pl.pallas_call(
+        functools.partial(_sphere_kernel, prim_tiles=s_pad // prim_tile, prim_tile=prim_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # centers resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # radius² resident
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), o.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(o_t, d_t, tmin_r, tmax_r, c_p, r2_p)
+    return t_out[0, :n], i_out[0, :n]
+
+
+# ---------------------------------------------------------------------------
+# Triangle kernel (Möller–Trumbore)
+# ---------------------------------------------------------------------------
+
+def _triangle_kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, t_ref, i_ref,
+                     *, prim_tiles, prim_tile):
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+    t_min = tmin_ref[0:1, :]
+    t_max = tmax_ref[0:1, :]
+
+    best_t = jnp.full(t_min.shape, _INF)
+    best_i = jnp.full(t_min.shape, -1, jnp.int32)
+
+    def body(s, carry):
+        best_t, best_i = carry
+        sl = pl.ds(s * prim_tile, prim_tile)
+        v0x = tri_ref[sl, 0:1]; v0y = tri_ref[sl, 1:2]; v0z = tri_ref[sl, 2:3]
+        e1x = tri_ref[sl, 3:4]; e1y = tri_ref[sl, 4:5]; e1z = tri_ref[sl, 5:6]
+        e2x = tri_ref[sl, 6:7]; e2y = tri_ref[sl, 7:8]; e2z = tri_ref[sl, 8:9]
+
+        # h = d × e2 (P, R)
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = 1.0 / a
+        sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        # q = s × e1
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (
+            (jnp.abs(a) >= 1e-8)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= t_min) & (t <= t_max)
+        )
+        ts = jnp.where(ok, t, _INF)
+
+        tmin_tile = jnp.min(ts, axis=0, keepdims=True)
+        arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
+        better = tmin_tile < best_t
+        best_i = jnp.where(better, s * prim_tile + arg, best_i)
+        best_t = jnp.where(better, tmin_tile, best_t)
+        return best_t, best_i
+
+    best_t, best_i = jax.lax.fori_loop(0, prim_tiles, body, (best_t, best_i))
+    t_ref[:, :] = best_t
+    i_ref[:, :] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ray_tile", "prim_tile"))
+def triangle_closest(o, d, t_min, t_max, v0, e1, e2, interpret=False,
+                     ray_tile=RAY_TILE, prim_tile=PRIM_TILE):
+    """Closest triangle hit for a ray wave. Returns ``(t (N,), idx (N,))``."""
+    n = o.shape[0]
+    n_pad = _cdiv(n, ray_tile) * ray_tile
+    t_rows = _cdiv(v0.shape[0], prim_tile) * prim_tile
+
+    o_t = _pad_rows(o, n_pad).T
+    d_t = _pad_rows(d, n_pad, fill=1.0).T
+    tmin_r = _pad_rows(jnp.broadcast_to(t_min, (n,))[:, None], n_pad).T
+    tmax_r = _pad_rows(jnp.broadcast_to(t_max, (n,))[:, None], n_pad).T
+    # Packed triangle table (T, 9): v0 | e1 | e2. Zero padding rows give
+    # a == 0 → parallel reject.
+    tri = _pad_rows(jnp.concatenate([v0, e1, e2], axis=1), t_rows)
+
+    grid = (n_pad // ray_tile,)
+    t_out, i_out = pl.pallas_call(
+        functools.partial(_triangle_kernel, prim_tiles=t_rows // prim_tile, prim_tile=prim_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table resident
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), o.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(o_t, d_t, tmin_r, tmax_r, tri)
+    return t_out[0, :n], i_out[0, :n]
