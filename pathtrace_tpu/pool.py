@@ -1,0 +1,259 @@
+"""Persistent-pool wavefront renderer (path regeneration).
+
+The plain wavefront loop (integrators.py) processes one wave of paths until
+every ray dies: as Russian roulette kills lanes the wave's tail runs at a few
+percent occupancy, so counted-ray throughput collapses. Here a fixed pool of
+``num_slots`` path slots is kept saturated instead — the moment a path
+terminates its radiance is scatter-added into the framebuffer and the slot is
+refilled with the next ``(pixel, sample)`` work item (camera ray regeneration).
+Occupancy stays ~100% until the global work queue drains.
+
+The estimator is the *same* reference-exact math as integrators.py, rewritten
+in trace-at-top form: each iteration traces the slot's pending ray, and when a
+BSDF ray lands on a light the MIS term is reconstructed from carried state
+(``pdf_prev``, the previous vertex position, and the prefix that already
+includes bsdf·cos/(pdf·rr)):
+
+    contribution = prefix · pdf_prev/(pdf_prev + pdf_shape(prev_vertex, hit)) · E
+
+which is algebraically identical to rendering.rs:113-121 (and pdf_shape keeps
+the reference's missing-1/num_lights quirk). The NEE-discarded-on-RR quirk,
+eta carry, depth-0-only emissive visibility (MIS/NEE) vs any-depth (BRDF-only),
+and the RR schedule are identical to the wavefront path; equality is tested
+sample-for-sample against render() in tests/test_pool.py.
+
+Because the counter-based RNG addresses randomness by (pixel, sample, bounce,
+slot-coordinate), the pool's scheduling freedom changes nothing statistically —
+the same sample indices produce the same paths as the plain renderer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .integrators import EPS, _rr_probability
+from .models.camera import Camera
+from .models.scene import Scene
+from .ops import bsdf as bsdf_ops
+from .ops import lights as light_ops
+from .ops.intersect import intersect, occluded
+from .utils import rng as rng_ops
+from .utils import vec
+
+
+class _PoolState(NamedTuple):
+    # Per-slot path state
+    pixel: jnp.ndarray      # (S,) int32 assigned pixel id (undefined if !busy)
+    sample: jnp.ndarray     # (S,) int32 assigned sample index
+    bounce: jnp.ndarray     # (S,) int32 current path depth
+    ray_o: jnp.ndarray      # (S, 3)
+    ray_d: jnp.ndarray      # (S, 3)
+    ray_eta: jnp.ndarray    # (S,) eta carried on the ray (set at spawn vertex)
+    prev_point: jnp.ndarray  # (S, 3) previous vertex (for the MIS pdf query)
+    pdf_prev: jnp.ndarray   # (S,) bsdf pdf of the ray's sample at spawn
+    prefix: jnp.ndarray     # (S, 3) throughput incl. rr division
+    radiance: jnp.ndarray   # (S, 3) accumulated path radiance
+    busy: jnp.ndarray       # (S,) slot holds an in-flight path
+    # Global
+    cursor: jnp.ndarray     # scalar int32: next work item
+    image: jnp.ndarray      # (num_pixels, 3) accumulated sums
+    iters: jnp.ndarray      # scalar int32 diagnostics
+    rays: jnp.ndarray       # scalar int32: traced-ray counter
+
+
+def _per_slot_uniforms(keys, bounces, dtype):
+    def draw(k, b):
+        return jax.random.uniform(
+            jax.random.fold_in(k, b), (rng_ops.NUM_SLOTS,), dtype=dtype
+        )
+
+    return jax.vmap(draw)(keys, bounces)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "integrator", "max_bounces", "num_slots", "seed",
+    ),
+)
+def render_pool(
+    scene: Scene,
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    integrator: str = "mis",
+    max_bounces: int = 64,
+    num_slots: int = 262144,
+    seed: int = 0,
+):
+    """Render the full frame with a saturated path pool.
+
+    Returns ``(image_sum (H*W, 3), traced_rays, iterations)``; divide by spp
+    for mean radiance.
+    """
+    use_mis = integrator == "mis"
+    use_nee = integrator in ("mis", "nee")
+    num_pixels = width * height
+    total_work = num_pixels * spp
+    S = min(num_slots, total_work)
+    dtype = camera.origin.dtype
+    base = rng_ops.base_key(seed)
+
+    zero3 = jnp.zeros((S, 3), dtype)
+    state = _PoolState(
+        pixel=jnp.zeros((S,), jnp.int32),
+        sample=jnp.zeros((S,), jnp.int32),
+        bounce=jnp.zeros((S,), jnp.int32),
+        ray_o=zero3,
+        ray_d=jnp.concatenate([jnp.zeros((S, 2), dtype), jnp.ones((S, 1), dtype)], 1),
+        ray_eta=jnp.ones((S,), dtype),
+        prev_point=zero3,
+        pdf_prev=jnp.ones((S,), dtype),
+        prefix=jnp.ones((S, 3), dtype),
+        radiance=zero3,
+        busy=jnp.zeros((S,), bool),
+        cursor=jnp.int32(0),
+        image=jnp.zeros((num_pixels, 3), dtype),
+        iters=jnp.int32(0),
+        rays=jnp.int32(0),
+    )
+
+    def cond(s: _PoolState):
+        return (s.cursor < total_work) | jnp.any(s.busy)
+
+    def body(s: _PoolState) -> _PoolState:
+        # ---- Refill: hand the next work items to free slots ----
+        free = ~s.busy
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        w_new = s.cursor + rank
+        refill = free & (w_new < total_work)
+        new_pixel = w_new % num_pixels
+        new_sample = w_new // num_pixels
+
+        pixel = jnp.where(refill, new_pixel, s.pixel)
+        sample = jnp.where(refill, new_sample, s.sample)
+        keys = rng_ops.pixel_sample_keys(base, pixel, sample)
+
+        jitter = rng_ops.primary_jitter(keys, dtype=dtype)
+        px = pixel % width
+        py = pixel // width
+        cam_o, cam_d = camera.generate_rays(px, (height - 1) - py, jitter)
+
+        r = refill[:, None]
+        bounce = jnp.where(refill, 0, s.bounce)
+        ray_o = jnp.where(r, cam_o, s.ray_o)
+        ray_d = jnp.where(r, cam_d, s.ray_d)
+        ray_eta = jnp.where(refill, 1.0, s.ray_eta)
+        prev_point = jnp.where(r, cam_o, s.prev_point)
+        pdf_prev = jnp.where(refill, 1.0, s.pdf_prev)
+        prefix = jnp.where(r, 1.0, s.prefix)
+        radiance = jnp.where(r, 0.0, s.radiance)
+        busy = s.busy | refill
+        cursor = s.cursor + jnp.sum(refill.astype(jnp.int32))
+
+        # ---- One bounce for every busy slot ----
+        hit = intersect(scene, ray_o, ray_d, EPS, jnp.inf)
+        emis = hit.valid & bsdf_ops.is_emissive(scene, hit.mat)
+        emission = bsdf_ops.emitted(scene, hit.mat)
+
+        # Emissive terminal rules (rendering.rs:42-49 / 225-227):
+        if integrator == "brdf_only":
+            emis_gain = emission
+        else:
+            if use_mis:
+                pdf_shape = light_ops.light_pdf_toward(scene, hit.prim, prev_point, hit.point)
+                w_bsdf = pdf_prev / (pdf_prev + pdf_shape)
+            else:
+                w_bsdf = jnp.zeros((S,), dtype)
+            # depth 0: raw emission; depth >0: MIS-weighted (prefix already
+            # carries bsdf·cos/(pdf·rr) from the spawning vertex).
+            emis_gain = jnp.where((bounce == 0)[:, None], emission, w_bsdf[:, None] * emission)
+        radiance = radiance + jnp.where(
+            (busy & emis)[:, None], vec.finite_or_zero(prefix * emis_gain), 0.0
+        )
+
+        # A path may reach bounce == max_bounces only to collect a light hit
+        # (the wavefront loop's final peek term); it never shades there.
+        shade = busy & hit.valid & ~emis & (bounce < max_bounces)
+        u = _per_slot_uniforms(keys, bounce, dtype)
+        i_dir = -ray_d
+
+        # ---- NEE (rendering.rs:55-81) ----
+        if use_nee:
+            ls = light_ops.sample_light_point(
+                scene,
+                hit.point,
+                u[:, rng_ops.SLOT_LIGHT_SELECT],
+                u[:, rng_ops.SLOT_LIGHT_U],
+                u[:, rng_ops.SLOT_LIGHT_V],
+            )
+            blocked = occluded(scene, hit.point, ls.dir, EPS, ls.dist - EPS)
+            cos_l = jnp.abs(vec.dot(hit.normal, ls.dir))
+            bsdf_l, pdf_bsdf_l = bsdf_ops.eval_bsdf(
+                scene, hit.mat, i_dir, ray_eta, ls.dir, hit.normal
+            )
+            w_nee = ls.pdf / (ls.pdf + pdf_bsdf_l) if use_mis else jnp.ones_like(ls.pdf)
+            direct = w_nee[:, None] * bsdf_l * ls.emission * (cos_l / ls.pdf)[:, None]
+            direct = vec.finite_or_zero(jnp.where(blocked[:, None], 0.0, direct))
+        else:
+            direct = zero3
+
+        # ---- BSDF sample + RR (rendering.rs:83-102) ----
+        eta_s = bsdf_ops.eta_ratio(scene, hit.mat, hit.front_face)
+        o_dir, bsdf_s, pdf_s, cos_s = bsdf_ops.sample_bsdf(
+            scene,
+            hit.mat,
+            i_dir,
+            eta_s,
+            hit.normal,
+            u[:, rng_ops.SLOT_BSDF_U],
+            u[:, rng_ops.SLOT_BSDF_V],
+            u[:, rng_ops.SLOT_FRESNEL],
+        )
+        factor = bsdf_s * (cos_s / pdf_s)[:, None]
+        next_tp = prefix * factor
+        rr = _rr_probability(bounce, next_tp)
+        survive = u[:, rng_ops.SLOT_RR] < rr
+
+        live = shade & survive
+        # Quirk 1: NEE direct only counts when RR survives.
+        radiance = radiance + jnp.where(
+            live[:, None], vec.finite_or_zero(prefix * direct), 0.0
+        )
+
+        # ---- Path termination & flush ----
+        done = busy & ~live
+        image = s.image.at[pixel].add(
+            jnp.where(done[:, None], radiance, 0.0), mode="drop"
+        )
+
+        # ---- Continue surviving paths ----
+        l2 = live[:, None]
+        return _PoolState(
+            pixel=pixel,
+            sample=sample,
+            bounce=jnp.where(live, bounce + 1, bounce),
+            ray_o=jnp.where(l2, hit.point, ray_o),
+            ray_d=jnp.where(l2, o_dir, ray_d),
+            ray_eta=jnp.where(live, eta_s, ray_eta),
+            prev_point=jnp.where(l2, hit.point, prev_point),
+            pdf_prev=jnp.where(live, pdf_s, pdf_prev),
+            prefix=jnp.where(l2, vec.finite_or_zero(prefix * factor / rr[:, None]), prefix),
+            radiance=jnp.where(l2, radiance, zero3),
+            busy=live,
+            cursor=cursor,
+            image=image,
+            iters=s.iters + 1,
+            rays=s.rays
+            + jnp.sum(busy.astype(jnp.int32))
+            + (jnp.sum(shade.astype(jnp.int32)) if use_nee else 0),
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.image, final.rays, final.iters
