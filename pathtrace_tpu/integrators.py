@@ -104,9 +104,10 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
     dtype = ray_o.dtype
 
     hit0 = intersect(scene, ray_o, ray_d, EPS, jnp.inf)
-    emis0 = hit0.valid & bsdf_ops.is_emissive(scene, hit0.mat)
+    mp0 = bsdf_ops.mat_of(scene, hit0.mat)
+    emis0 = hit0.valid & bsdf_ops.is_emissive_params(mp0)
     # Lights are visible to the camera only (depth==0, rendering.rs:42-49).
-    radiance = jnp.where(emis0[:, None], bsdf_ops.emitted(scene, hit0.mat), 0.0)
+    radiance = jnp.where(emis0[:, None], bsdf_ops.emitted_params(mp0), 0.0)
     alive = hit0.valid & ~emis0
 
     # Carry initializers derive from the (possibly sharded) inputs so their
@@ -128,6 +129,7 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
     def body(s: _WaveState) -> _WaveState:
         u = rng_ops.bounce_uniforms(keys, s.bounce, dtype=dtype)
         hit = s.hit
+        mp = bsdf_ops.mat_of(scene, hit.mat)
         i = -s.ray_d
 
         # --- NEE (rendering.rs:55-81) ---
@@ -141,7 +143,7 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
         blocked = occluded(scene, hit.point, ls.dir, EPS, ls.dist - EPS)
         cos_l = jnp.abs(vec.dot(hit.normal, ls.dir))
         bsdf_l, pdf_bsdf_l = bsdf_ops.eval_bsdf(
-            scene, hit.mat, i, s.ray_eta, ls.dir, hit.normal
+            scene, hit.mat, i, s.ray_eta, ls.dir, hit.normal, params=mp
         )
         if use_mis:
             w_nee = ls.pdf / (ls.pdf + pdf_bsdf_l)
@@ -153,7 +155,7 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
         direct = vec.finite_or_zero(jnp.where(blocked[:, None], 0.0, direct))
 
         # --- BSDF sample (rendering.rs:83-89) ---
-        eta_s = bsdf_ops.eta_ratio(scene, hit.mat, hit.front_face)
+        eta_s = bsdf_ops.eta_ratio(scene, hit.mat, hit.front_face, params=mp)
         o_dir, bsdf_s, pdf_s, cos_s = bsdf_ops.sample_bsdf(
             scene,
             hit.mat,
@@ -163,6 +165,7 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
             u[:, rng_ops.SLOT_BSDF_U],
             u[:, rng_ops.SLOT_BSDF_V],
             u[:, rng_ops.SLOT_FRESNEL],
+            params=mp,
         )
         factor = bsdf_s * (cos_s / pdf_s)[:, None]  # bsdf·cos/pdf
         next_tp = s.prefix * factor
@@ -179,7 +182,8 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
 
         # --- Peek (rendering.rs:104-135); doubles as the next bounce's hit ---
         peek = intersect(scene, hit.point, o_dir, EPS, jnp.inf)
-        peek_emis = peek.valid & bsdf_ops.is_emissive(scene, peek.mat)
+        peek_mp = bsdf_ops.mat_of(scene, peek.mat)
+        peek_emis = peek.valid & bsdf_ops.is_emissive_params(peek_mp)
 
         if use_mis:
             # Quirk 2: pdf_shape without the 1/num_lights factor.
@@ -188,7 +192,7 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
             hit_light = (
                 w_bsdf[:, None]
                 * bsdf_s
-                * bsdf_ops.emitted(scene, peek.mat)
+                * bsdf_ops.emitted_params(peek_mp)
                 * (cos_s / (pdf_s * rr))[:, None]
             )
             radiance = radiance + jnp.where(
@@ -254,16 +258,17 @@ def _trace_brdf_only(scene, ray_o, ray_d, keys, max_bounces):
     def body(s: S) -> S:
         u = rng_ops.bounce_uniforms(keys, s.bounce, dtype=dtype)
         hit = intersect(scene, s.ray_o, s.ray_d, EPS, jnp.inf)
-        emis = hit.valid & bsdf_ops.is_emissive(scene, hit.mat)
+        mp = bsdf_ops.mat_of(scene, hit.mat)
+        emis = hit.valid & bsdf_ops.is_emissive_params(mp)
 
         radiance = s.radiance + jnp.where(
             (s.alive & emis)[:, None],
-            vec.finite_or_zero(s.prefix * bsdf_ops.emitted(scene, hit.mat)),
+            vec.finite_or_zero(s.prefix * bsdf_ops.emitted_params(mp)),
             0.0,
         )
 
         i = -s.ray_d
-        eta_s = bsdf_ops.eta_ratio(scene, hit.mat, hit.front_face)
+        eta_s = bsdf_ops.eta_ratio(scene, hit.mat, hit.front_face, params=mp)
         o_dir, bsdf_s, pdf_s, cos_s = bsdf_ops.sample_bsdf(
             scene,
             hit.mat,
@@ -273,6 +278,7 @@ def _trace_brdf_only(scene, ray_o, ray_d, keys, max_bounces):
             u[:, rng_ops.SLOT_BSDF_U],
             u[:, rng_ops.SLOT_BSDF_V],
             u[:, rng_ops.SLOT_FRESNEL],
+            params=mp,
         )
         factor = bsdf_s * (cos_s / pdf_s)[:, None]
         next_tp = s.prefix * factor

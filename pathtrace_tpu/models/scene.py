@@ -48,6 +48,11 @@ class Scene:
 
     # Emissive primitive ids (auto-detected, world.rs:213-225)
     light_prims: jnp.ndarray  # (L,) int32
+    # Packed per-light geometry+emission rows so light sampling needs one
+    # one-hot matmul instead of ~10 gathers. Columns:
+    #   0: is_tri | 1:4 v0/center | 4: radius (sphere) | 4:7 e1 (tri)
+    #   7:10 e2 | 10:13 normal | 13 area | 14:17 emission
+    light_geom: jnp.ndarray  # (L, 17)
 
     num_tris: int = struct.field(pytree_node=False)
     num_spheres: int = struct.field(pytree_node=False)
@@ -163,6 +168,23 @@ class SceneBuilder:
         num_lights = len(light_ids)
         light_prims = np.asarray(light_ids or [0], np.int32)
 
+        light_geom = np.zeros((max(num_lights, 1), 17))
+        for li, pid in enumerate(light_ids):
+            if pid < t_pad:
+                mid = int(tri_mat_arr[pid])
+                light_geom[li, 0] = 1.0
+                light_geom[li, 1:4] = tri_v0[pid]
+                light_geom[li, 4:7] = tri_e1[pid]
+                light_geom[li, 7:10] = tri_e2[pid]
+                light_geom[li, 10:13] = tri_normal[pid]
+                light_geom[li, 13] = tri_area[pid]
+            else:
+                si = pid - t_pad
+                mid = int(sph_mat_arr[si])
+                light_geom[li, 1:4] = sph_center[si]
+                light_geom[li, 4] = sph_radius[si]
+            light_geom[li, 14:17] = mat_emission[mid]
+
         return Scene(
             tri_v0=jnp.asarray(tri_v0, dtype),
             tri_e1=jnp.asarray(tri_e1, dtype),
@@ -180,6 +202,7 @@ class SceneBuilder:
             mat_metallic=jnp.asarray(mat_metallic, dtype),
             mat_ior=jnp.asarray(mat_ior, dtype),
             light_prims=jnp.asarray(light_prims),
+            light_geom=jnp.asarray(light_geom, dtype),
             num_tris=num_tris,
             num_spheres=num_sphs,
             num_lights=num_lights,

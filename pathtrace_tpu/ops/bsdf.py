@@ -23,6 +23,9 @@ Conventions: ``i`` is the unit vector *toward* the viewer (``-ray.direction``),
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
 
 from ..models import materials as mat
@@ -31,9 +34,56 @@ from ..utils import vec
 
 _PI = jnp.pi
 
+# Material tables larger than this fall back to plain gathers.
+_ONEHOT_MAX = 4096
 
-def _gather_mat(scene: Scene, mid):
-    return dict(
+
+class MatParams(NamedTuple):
+    """Per-ray material parameters, resolved once per bounce."""
+
+    kind: jnp.ndarray       # (N,) int32
+    color: jnp.ndarray      # (N, 3)
+    emission: jnp.ndarray   # (N, 3)
+    roughness: jnp.ndarray  # (N,)
+    metallic: jnp.ndarray   # (N,)
+    ior: jnp.ndarray        # (N,)
+
+
+def mat_of(scene: Scene, mid) -> MatParams:
+    """Resolve material ids to parameter rows.
+
+    TPU gathers of (N,) vectors from small tables measured ~2 ms each at
+    production wave sizes; a one-hot (N,M)@(M,12) matmul fetches every column
+    in one MXU pass instead. Falls back to gathers for huge tables.
+    """
+    m_rows = scene.mat_kind.shape[0]
+    if m_rows <= _ONEHOT_MAX and jax.default_backend() != "cpu":
+        dtype = scene.mat_color.dtype
+        table = jnp.concatenate(
+            [
+                scene.mat_kind[:, None].astype(dtype),
+                scene.mat_color,
+                scene.mat_emission,
+                scene.mat_roughness[:, None],
+                scene.mat_metallic[:, None],
+                scene.mat_ior[:, None],
+            ],
+            axis=1,
+        )  # (M, 12)
+        onehot = (mid[:, None] == jnp.arange(m_rows, dtype=mid.dtype)[None, :])
+        row = jnp.dot(
+            onehot.astype(dtype), table,
+            preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST,
+        )
+        return MatParams(
+            kind=row[:, 0].astype(jnp.int32),
+            color=row[:, 1:4],
+            emission=row[:, 4:7],
+            roughness=row[:, 7],
+            metallic=row[:, 8],
+            ior=row[:, 9],
+        )
+    return MatParams(
         kind=scene.mat_kind[mid],
         color=scene.mat_color[mid],
         emission=scene.mat_emission[mid],
@@ -43,15 +93,29 @@ def _gather_mat(scene: Scene, mid):
     )
 
 
+def _gather_mat(scene: Scene, mid):
+    m = mat_of(scene, mid)
+    return dict(
+        kind=m.kind, color=m.color, emission=m.emission,
+        roughness=m.roughness, metallic=m.metallic, ior=m.ior,
+    )
+
+
+def emitted_params(m: MatParams):
+    """Emission of resolved materials; the ``emit()`` probe (material.rs:160-163)."""
+    return jnp.where((m.kind == mat.KIND_EMISSIVE)[:, None], m.emission, 0.0)
+
+
+def is_emissive_params(m: MatParams):
+    return (m.kind == mat.KIND_EMISSIVE) & (vec.length(m.emission) > 0.0)
+
+
 def emitted(scene: Scene, mid):
-    """Emission lookup; the ``emit()`` probe (material.rs:160-163)."""
-    m = _gather_mat(scene, mid)
-    return jnp.where((m["kind"] == mat.KIND_EMISSIVE)[:, None], m["emission"], 0.0)
+    return emitted_params(mat_of(scene, mid))
 
 
 def is_emissive(scene: Scene, mid):
-    m = _gather_mat(scene, mid)
-    return (m["kind"] == mat.KIND_EMISSIVE) & (vec.length(m["emission"]) > 0.0)
+    return is_emissive_params(mat_of(scene, mid))
 
 
 # ---------------------------------------------------------------------------
@@ -223,14 +287,20 @@ def _eval_mirror(m, i, o, normal, eta):
     return bsdf, pdf
 
 
-def eval_bsdf(scene: Scene, mid, i, eta, o, normal):
+def eval_bsdf(scene: Scene, mid, i, eta, o, normal, params: MatParams | None = None):
     """``Material::bsdf_pdf`` for a wave: returns ``(bsdf (N,3), pdf (N,))``.
 
     ``eta`` is the per-ray IOR ratio the *incoming* ray carries — note the
     reference evaluates NEE with the eta set at the previous vertex
     (rendering.rs:72 runs before :83 overwrites it), replicated by the caller.
+
+    Pass ``params`` (from :func:`mat_of`) to reuse an already-resolved
+    material row instead of re-resolving ``mid``.
     """
-    m = _gather_mat(scene, mid)
+    m = _gather_mat(scene, mid) if params is None else dict(
+        kind=params.kind, color=params.color, emission=params.emission,
+        roughness=params.roughness, metallic=params.metallic, ior=params.ior,
+    )
     kind = m["kind"]
 
     lam_bsdf, lam_pdf = _eval_lambert(m["color"], o, normal)
@@ -331,7 +401,8 @@ def _sample_mirror(m, i, normal, eta, r1, r2, u_coin):
     return o, bsdf, pdf, cos
 
 
-def sample_bsdf(scene: Scene, mid, i, eta, normal, r1, r2, u_coin):
+def sample_bsdf(scene: Scene, mid, i, eta, normal, r1, r2, u_coin,
+                params: MatParams | None = None):
     """``Material::bsdf_pdf_sample`` for a wave: returns
     ``(direction (N,3), bsdf (N,3), pdf (N,), cos_theta (N,))``.
 
@@ -339,7 +410,10 @@ def sample_bsdf(scene: Scene, mid, i, eta, normal, r1, r2, u_coin):
     evaluate, cos clamped ≥ 0 — material.rs:29-40); the Mirror lane overrides
     with VNDF + stochastic reflect/refract exactly like mirror.rs:200-305.
     """
-    m = _gather_mat(scene, mid)
+    m = _gather_mat(scene, mid) if params is None else dict(
+        kind=params.kind, color=params.color, emission=params.emission,
+        roughness=params.roughness, metallic=params.metallic, ior=params.ior,
+    )
     kind = m["kind"]
 
     # Diffuse lanes share the cosine-weighted sample (material.rs:93-122, 267-295).
@@ -369,8 +443,8 @@ def sample_bsdf(scene: Scene, mid, i, eta, normal, r1, r2, u_coin):
     return o, bsdf, pdf, cos
 
 
-def eta_ratio(scene: Scene, mid, front_face):
+def eta_ratio(scene: Scene, mid, front_face, params: MatParams | None = None):
     """IOR ratio for a ray leaving a vertex: air→medium on front faces,
     medium→air on back faces (rendering.rs:20-25)."""
-    ior = scene.mat_ior[mid]
+    ior = scene.mat_ior[mid] if params is None else params.ior
     return jnp.where(front_face, 1.0 / ior, ior)

@@ -253,15 +253,35 @@ def intersect(
         from . import pallas_intersect as pk
 
         interp = method == "pallas_interpret"
-        tri_t, tri_p = pk.triangle_closest(
+        tri_t, tri_p, tri_n, tri_m = pk.triangle_closest(
             o, d, t_min_b, t_max_b, scene.tri_v0, scene.tri_e1, scene.tri_e2,
-            interpret=interp,
+            scene.tri_normal, scene.tri_mat, interpret=interp,
         )
-        sph_t, sph_p = pk.sphere_closest(
+        sph_t, sph_p, sph_n, sph_m = pk.sphere_closest(
             o, d, t_min_b, t_max_b, scene.sph_center, scene.sph_radius,
-            interpret=interp,
+            scene.sph_mat, interpret=interp,
         )
         sph_p = jnp.where(sph_p >= 0, sph_p + t_rows_real, -1)
+
+        # Hit records come out of the kernels fully formed — no gathers.
+        sph_better = sph_t < tri_t
+        t = jnp.where(sph_better, sph_t, tri_t)
+        prim = jnp.where(sph_better, sph_p, tri_p)
+        valid = prim >= 0
+        point = o + d * jnp.where(valid, t, 0.0)[:, None]
+        outward = jnp.where(sph_better[:, None], sph_n, tri_n)
+        mat = jnp.where(sph_better, sph_m, tri_m)
+        mat = jnp.where(valid, mat, 0)
+        front_face = vec.dot(d, outward) < 0.0
+        normal = jnp.where(front_face[:, None], outward, -outward)
+        return Hit(
+            t=jnp.where(valid, t, _INF),
+            prim=prim,
+            point=point,
+            normal=normal,
+            front_face=front_face,
+            mat=mat,
+        )
     else:
         t_min2 = t_min_b[:, None]
         t_max2 = t_max_b[:, None]

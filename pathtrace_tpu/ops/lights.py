@@ -3,7 +3,13 @@
 Vectorized counterpart of ``World::sample_light_point`` (world.rs:251-267) and
 ``Shape::sample_surface_from_point`` (shape.rs:91-145 sphere cone sampling,
 shape.rs:200-241 triangle area sampling). Each ray picks one light uniformly;
-both shape lanes are computed branchlessly and selected by primitive kind.
+both shape lanes are computed branchlessly and selected per ray.
+
+Implementation note: per-light geometry comes from the scene's packed
+``light_geom`` table via a one-hot (N,L)@(L,17) product — a single MXU pass
+replacing ~10 serialized TPU gathers (measured ~2 ms each at production wave
+sizes). One-hot rows make the product exact, so CPU parity tests see identical
+values to direct indexing.
 
 Reference quirk preserved on purpose (required for RMSE parity, SURVEY §3.2):
 the NEE-side pdf is divided by the light count (world.rs:260) but the MIS
@@ -13,6 +19,7 @@ bsdf-side pdf query is **not** (rendering.rs:114-117) — so
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -32,22 +39,23 @@ class LightSample:
     dist: jnp.ndarray      # (N,)
 
 
-def _gather_light_geometry(scene: Scene, prim):
-    """Split a global prim id into triangle/sphere lanes with clipped gathers."""
-    t_rows = scene.tri_v0.shape[0]
-    is_tri = prim < t_rows
-    ti = jnp.clip(prim, 0, t_rows - 1)
-    si = jnp.clip(prim - t_rows, 0, scene.sph_center.shape[0] - 1)
-    return is_tri, ti, si
+def _rows_from_onehot(scene: Scene, onehot):
+    """(N, L) one-hot → (N, 17) packed light rows (exact: single 1 per row)."""
+    return jnp.dot(
+        onehot.astype(scene.light_geom.dtype),
+        scene.light_geom,
+        preferred_element_type=scene.light_geom.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
-def _tri_lane(scene, ti, from_point, target_point, r1, r2):
+def _tri_lane_rows(row, from_point, target_point, r1, r2):
     """Triangle surface sample / pdf toward a target (shape.rs:200-241)."""
-    v0 = scene.tri_v0[ti]
-    e1 = scene.tri_e1[ti]
-    e2 = scene.tri_e2[ti]
-    normal = scene.tri_normal[ti]
-    area = scene.tri_area[ti]
+    v0 = row[:, 1:4]
+    e1 = row[:, 4:7]
+    e2 = row[:, 7:10]
+    normal = row[:, 10:13]
+    area = row[:, 13]
 
     if target_point is None:
         sqrt_r1 = jnp.sqrt(r1)
@@ -62,19 +70,19 @@ def _tri_lane(scene, ti, from_point, target_point, r1, r2):
     ldir = to_light / jnp.where(d > 0, d, 1.0)[:, None]
     # |n·(-ldir)| — two-sided emitters (shape.rs:231)
     cos_light = jnp.abs(vec.dot(normal, -ldir))
-    pdf_area = 1.0 / area
+    pdf_area = 1.0 / jnp.maximum(area, 1e-20)
     pdf_omega = jnp.where(
-        cos_light > 1e-8, pdf_area * (d * d) / cos_light, 1e-8
+        cos_light > 1e-8, pdf_area * (d * d) / jnp.maximum(cos_light, 1e-8), 1e-8
     )
     return point, normal, pdf_omega, ldir, d
 
 
-def _sphere_lane(scene, si, from_point, target_point, r1, r2):
+def _sphere_lane_rows(row, from_point, target_point, r1, r2):
     """Sphere cone sample / pdf (shape.rs:91-145): uniform direction in the
     subtended cone, constant pdf 1/solid_angle; the sampled point is found by
     re-intersecting the cone ray with the sphere."""
-    center = scene.sph_center[si]
-    radius = scene.sph_radius[si]
+    center = row[:, 1:4]
+    radius = row[:, 4]
 
     to_center = center - from_point
     dist_sq = vec.dot(to_center, to_center)
@@ -121,35 +129,46 @@ def _sphere_lane(scene, si, from_point, target_point, r1, r2):
     return point, normal, pdf_omega, ldir, d
 
 
+def _select_lanes(row, from_point, target_point, r1, r2):
+    tp, tn, tpdf, tdir, td = _tri_lane_rows(row, from_point, target_point, r1, r2)
+    sp, sn, spdf, sdir, sd = _sphere_lane_rows(row, from_point, target_point, r1, r2)
+    is_tri = row[:, 0] > 0.5
+    it = is_tri[:, None]
+    return (
+        jnp.where(it, tp, sp),
+        jnp.where(it, tn, sn),
+        jnp.where(is_tri, tpdf, spdf),
+        jnp.where(it, tdir, sdir),
+        jnp.where(is_tri, td, sd),
+    )
+
+
 def sample_light_point(scene: Scene, from_point, u_sel, r1, r2) -> LightSample:
     """Uniformly pick a light and sample its surface (world.rs:251-267).
     The returned pdf includes the 1/num_lights factor (world.rs:260)."""
     num_lights = max(scene.num_lights, 1)
+    l_rows = scene.light_geom.shape[0]
     idx = jnp.minimum((u_sel * num_lights).astype(jnp.int32), num_lights - 1)
-    prim = scene.light_prims[idx]
+    onehot = idx[:, None] == jnp.arange(l_rows, dtype=jnp.int32)[None, :]
+    row = _rows_from_onehot(scene, onehot)
 
-    is_tri, ti, si = _gather_light_geometry(scene, prim)
-    tp, tn, tpdf, tdir, td = _tri_lane(scene, ti, from_point, None, r1, r2)
-    sp, sn, spdf, sdir, sd = _sphere_lane(scene, si, from_point, None, r1, r2)
-
-    it = is_tri[:, None]
-    point = jnp.where(it, tp, sp)
-    normal = jnp.where(it, tn, sn)
-    pdf = jnp.where(is_tri, tpdf, spdf) / num_lights
-    ldir = jnp.where(it, tdir, sdir)
-    dist = jnp.where(is_tri, td, sd)
-
-    mat_id = scene.prim_mat(prim)
-    emission = scene.mat_emission[mat_id]
-    return LightSample(point=point, normal=normal, emission=emission, pdf=pdf, dir=ldir, dist=dist)
+    point, normal, pdf, ldir, dist = _select_lanes(row, from_point, None, r1, r2)
+    return LightSample(
+        point=point,
+        normal=normal,
+        emission=row[:, 14:17],
+        pdf=pdf / num_lights,
+        dir=ldir,
+        dist=dist,
+    )
 
 
 def light_pdf_toward(scene: Scene, prim, from_point, target_point):
     """Solid-angle pdf of the shape sampler toward a known hit point — the MIS
     bsdf-side query (rendering.rs:114-117). NOT divided by the light count
-    (the reference quirk). ``prim`` must index an emissive primitive; callers
-    mask the result."""
-    is_tri, ti, si = _gather_light_geometry(scene, jnp.maximum(prim, 0))
-    _, _, tpdf, _, _ = _tri_lane(scene, ti, from_point, target_point, None, None)
-    _, _, spdf, _, _ = _sphere_lane(scene, si, from_point, target_point, None, None)
-    return jnp.where(is_tri, tpdf, spdf)
+    (the reference quirk). ``prim`` rows that are not lights produce a
+    harmless bogus pdf; callers mask on the hit being emissive."""
+    onehot = prim[:, None] == scene.light_prims[None, :]
+    row = _rows_from_onehot(scene, onehot)
+    _, _, pdf, _, _ = _select_lanes(row, from_point, target_point, None, None)
+    return pdf

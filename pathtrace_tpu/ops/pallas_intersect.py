@@ -8,8 +8,14 @@ bandwidth. These kernels keep a tile of rays in registers and stream the
 intersection math never leaves the chip.
 
 Layout: rays live on the 128-wide lane axis, primitives on the sublane axis —
-every op is a rank-2 (PRIM_TILE, RAY_TILE) VPU broadcast of (PRIM_TILE, 1)
-primitive scalars against (1, RAY_TILE) ray components.
+every op is a rank-2 (prim_tile, ray_tile) VPU broadcast of (prim_tile, 1)
+primitive scalars against (1, ray_tile) ray components.
+
+The kernels also resolve the winning primitive's shading data **in-kernel**
+(outward normal and material id, selected with an argmin mask while the tile
+is still resident) — a TPU gather of (N,) values from primitive tables
+measured ~2 ms per array at production sizes, so hit records must leave the
+kernel fully formed.
 
 Math matches the reference exactly (same epsilons/ranges as ops.intersect):
 half-b quadratic with near-then-far root selection (shape.rs:53-89) and
@@ -43,12 +49,18 @@ def _pad_rows(a, rows, fill=0.0):
     return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1), constant_values=fill)
 
 
+def _select_winner(mask_f, cols):
+    """Sum-select per-lane winning rows: ``mask_f`` is a one-hot (P, R) float
+    mask; each entry of ``cols`` is (P, 1) per-primitive data."""
+    return [jnp.sum(mask_f * c, axis=0, keepdims=True) for c in cols]
+
+
 # ---------------------------------------------------------------------------
 # Sphere kernel
 # ---------------------------------------------------------------------------
 
-def _sphere_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, t_ref, i_ref,
-                   *, prim_tiles, prim_tile):
+def _sphere_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, aux_ref,
+                   t_ref, i_ref, n_ref, m_ref, *, prim_tiles, prim_tile):
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]   # (1, R)
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
     t_min = tmin_ref[0:1, :]
@@ -59,14 +71,18 @@ def _sphere_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, t_ref, i_ref
 
     best_t = jnp.full(t_min.shape, _INF)
     best_i = jnp.full(t_min.shape, -1, jnp.int32)
+    zero = jnp.zeros_like(t_min)
+    best = (best_t, best_i, zero, zero, zero, zero, zero)  # + cx, cy, cz, inv_r, mat
 
     def body(s, carry):
-        best_t, best_i = carry
+        best_t, best_i, bcx, bcy, bcz, bir, bm = carry
         sl = pl.ds(s * prim_tile, prim_tile)
         cx = c_ref[sl, 0:1]   # (P, 1)
         cy = c_ref[sl, 1:2]
         cz = c_ref[sl, 2:3]
         r2 = r2_ref[sl, 0:1]
+        inv_r = aux_ref[sl, 0:1]   # 1/radius (0 for padding)
+        matid = aux_ref[sl, 1:2]   # material id as f32
 
         cd = cx * dx + cy * dy + cz * dz            # (P, R)
         co = cx * ox + cy * oy + cz * oz
@@ -85,23 +101,49 @@ def _sphere_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, t_ref, i_ref
         tmin_tile = jnp.min(ts, axis=0, keepdims=True)           # (1, R)
         arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
         better = tmin_tile < best_t
+
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
+        mask_f = ((row_iota == arg) & better).astype(ts.dtype)
+        scx, scy, scz, sir, sm = _select_winner(mask_f, (cx, cy, cz, inv_r, matid))
+
         best_i = jnp.where(better, s * prim_tile + arg, best_i)
         best_t = jnp.where(better, tmin_tile, best_t)
-        return best_t, best_i
+        bcx = jnp.where(better, scx, bcx)
+        bcy = jnp.where(better, scy, bcy)
+        bcz = jnp.where(better, scz, bcz)
+        bir = jnp.where(better, sir, bir)
+        bm = jnp.where(better, sm, bm)
+        return best_t, best_i, bcx, bcy, bcz, bir, bm
 
-    best_t, best_i = jax.lax.fori_loop(0, prim_tiles, body, (best_t, best_i))
-    t_ref[:, :] = best_t
+    best_t, best_i, bcx, bcy, bcz, bir, bm = jax.lax.fori_loop(
+        0, prim_tiles, body, best
+    )
+    hit = best_i >= 0
+    tt = jnp.where(hit, best_t, 0.0)
+    nx = (ox + tt * dx - bcx) * bir
+    ny = (oy + tt * dy - bcy) * bir
+    nz = (oz + tt * dz - bcz) * bir
+    t_ref[:, :] = jnp.where(hit, best_t, _INF)
     i_ref[:, :] = best_i
+    n_ref[0:1, :] = nx
+    n_ref[1:2, :] = ny
+    n_ref[2:3, :] = nz
+    m_ref[:, :] = bm.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "ray_tile", "prim_tile"))
-def sphere_closest(o, d, t_min, t_max, centers, radius, interpret=False,
-                   ray_tile=RAY_TILE, prim_tile=PRIM_TILE):
-    """Closest sphere hit for a ray wave. Returns ``(t (N,), idx (N,))`` with
-    ``idx = -1`` / ``t = inf`` for misses."""
+def sphere_closest(o, d, t_min, t_max, centers, radius, sph_mat=None,
+                   interpret=False, ray_tile=RAY_TILE, prim_tile=PRIM_TILE):
+    """Closest sphere hit for a ray wave.
+
+    Returns ``(t (N,), idx (N,), outward_normal (N,3), mat (N,))`` with
+    ``idx = -1`` / ``t = inf`` for misses.
+    """
     n = o.shape[0]
     n_pad = _cdiv(n, ray_tile) * ray_tile
     s_pad = _cdiv(centers.shape[0], prim_tile) * prim_tile
+    if sph_mat is None:
+        sph_mat = jnp.zeros((centers.shape[0],), jnp.int32)
 
     o_t = _pad_rows(o, n_pad).T          # (3, N)
     d_t = _pad_rows(d, n_pad, fill=1.0).T
@@ -110,9 +152,13 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, interpret=False,
     c_p = _pad_rows(centers, s_pad, fill=1e9)
     r2_p = _pad_rows((radius * radius)[:, None] * jnp.sign(radius)[:, None], s_pad)
     # sign trick keeps radius<=0 rows dead (r2<=0 fails the live test)
+    inv_r = jnp.where(radius > 0, 1.0 / jnp.where(radius > 0, radius, 1.0), 0.0)
+    aux = _pad_rows(
+        jnp.stack([inv_r, sph_mat.astype(o.dtype)], axis=1), s_pad
+    )  # (S, 2)
 
     grid = (n_pad // ray_tile,)
-    t_out, i_out = pl.pallas_call(
+    t_out, i_out, n_out, m_out = pl.pallas_call(
         functools.partial(_sphere_kernel, prim_tiles=s_pad // prim_tile, prim_tile=prim_tile),
         grid=grid,
         in_specs=[
@@ -122,18 +168,23 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, interpret=False,
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # centers resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # radius² resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # aux (1/r, mat)
         ],
         out_specs=[
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), o.dtype),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((3, n_pad), o.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         interpret=interpret,
-    )(o_t, d_t, tmin_r, tmax_r, c_p, r2_p)
-    return t_out[0, :n], i_out[0, :n]
+    )(o_t, d_t, tmin_r, tmax_r, c_p, r2_p, aux)
+    return t_out[0, :n], i_out[0, :n], n_out[:, :n].T, m_out[0, :n]
 
 
 # ---------------------------------------------------------------------------
@@ -141,7 +192,7 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, interpret=False,
 # ---------------------------------------------------------------------------
 
 def _triangle_kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, t_ref, i_ref,
-                     *, prim_tiles, prim_tile):
+                     n_ref, m_ref, *, prim_tiles, prim_tile):
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
     t_min = tmin_ref[0:1, :]
@@ -149,13 +200,17 @@ def _triangle_kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, t_ref, i_ref,
 
     best_t = jnp.full(t_min.shape, _INF)
     best_i = jnp.full(t_min.shape, -1, jnp.int32)
+    zero = jnp.zeros_like(t_min)
+    best = (best_t, best_i, zero, zero, zero, zero)  # + nx, ny, nz, mat
 
     def body(s, carry):
-        best_t, best_i = carry
+        best_t, best_i, bnx, bny, bnz, bm = carry
         sl = pl.ds(s * prim_tile, prim_tile)
         v0x = tri_ref[sl, 0:1]; v0y = tri_ref[sl, 1:2]; v0z = tri_ref[sl, 2:3]
         e1x = tri_ref[sl, 3:4]; e1y = tri_ref[sl, 4:5]; e1z = tri_ref[sl, 5:6]
         e2x = tri_ref[sl, 6:7]; e2y = tri_ref[sl, 7:8]; e2z = tri_ref[sl, 8:9]
+        nx = tri_ref[sl, 9:10]; ny = tri_ref[sl, 10:11]; nz = tri_ref[sl, 11:12]
+        matid = tri_ref[sl, 12:13]
 
         # h = d × e2 (P, R)
         hx = dy * e2z - dz * e2y
@@ -182,33 +237,61 @@ def _triangle_kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, t_ref, i_ref,
         tmin_tile = jnp.min(ts, axis=0, keepdims=True)
         arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
         better = tmin_tile < best_t
+
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
+        mask_f = ((row_iota == arg) & better).astype(ts.dtype)
+        snx, sny, snz, sm = _select_winner(mask_f, (nx, ny, nz, matid))
+
         best_i = jnp.where(better, s * prim_tile + arg, best_i)
         best_t = jnp.where(better, tmin_tile, best_t)
-        return best_t, best_i
+        bnx = jnp.where(better, snx, bnx)
+        bny = jnp.where(better, sny, bny)
+        bnz = jnp.where(better, snz, bnz)
+        bm = jnp.where(better, sm, bm)
+        return best_t, best_i, bnx, bny, bnz, bm
 
-    best_t, best_i = jax.lax.fori_loop(0, prim_tiles, body, (best_t, best_i))
+    best_t, best_i, bnx, bny, bnz, bm = jax.lax.fori_loop(0, prim_tiles, body, best)
     t_ref[:, :] = best_t
     i_ref[:, :] = best_i
+    n_ref[0:1, :] = bnx
+    n_ref[1:2, :] = bny
+    n_ref[2:3, :] = bnz
+    m_ref[:, :] = bm.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "ray_tile", "prim_tile"))
-def triangle_closest(o, d, t_min, t_max, v0, e1, e2, interpret=False,
+def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
+                     tri_mat=None, interpret=False,
                      ray_tile=RAY_TILE, prim_tile=PRIM_TILE):
-    """Closest triangle hit for a ray wave. Returns ``(t (N,), idx (N,))``."""
+    """Closest triangle hit for a ray wave.
+
+    Returns ``(t (N,), idx (N,), outward_normal (N,3), mat (N,))``.
+    """
     n = o.shape[0]
     n_pad = _cdiv(n, ray_tile) * ray_tile
     t_rows = _cdiv(v0.shape[0], prim_tile) * prim_tile
+    if tri_normal is None:
+        cr = jnp.cross(e1, e2)
+        nrm = jnp.linalg.norm(cr, axis=-1, keepdims=True)
+        tri_normal = jnp.where(nrm > 0, cr / jnp.where(nrm > 0, nrm, 1.0), 0.0)
+    if tri_mat is None:
+        tri_mat = jnp.zeros((v0.shape[0],), jnp.int32)
 
     o_t = _pad_rows(o, n_pad).T
     d_t = _pad_rows(d, n_pad, fill=1.0).T
     tmin_r = _pad_rows(jnp.broadcast_to(t_min, (n,))[:, None], n_pad).T
     tmax_r = _pad_rows(jnp.broadcast_to(t_max, (n,))[:, None], n_pad).T
-    # Packed triangle table (T, 9): v0 | e1 | e2. Zero padding rows give
-    # a == 0 → parallel reject.
-    tri = _pad_rows(jnp.concatenate([v0, e1, e2], axis=1), t_rows)
+    # Packed triangle table (T, 13): v0 | e1 | e2 | normal | mat. Zero padding
+    # rows give a == 0 → parallel reject.
+    tri = _pad_rows(
+        jnp.concatenate(
+            [v0, e1, e2, tri_normal, tri_mat.astype(o.dtype)[:, None]], axis=1
+        ),
+        t_rows,
+    )
 
     grid = (n_pad // ray_tile,)
-    t_out, i_out = pl.pallas_call(
+    t_out, i_out, n_out, m_out = pl.pallas_call(
         functools.partial(_triangle_kernel, prim_tiles=t_rows // prim_tile, prim_tile=prim_tile),
         grid=grid,
         in_specs=[
@@ -221,11 +304,15 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, interpret=False,
         out_specs=[
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, n_pad), o.dtype),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((3, n_pad), o.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         interpret=interpret,
     )(o_t, d_t, tmin_r, tmax_r, tri)
-    return t_out[0, :n], i_out[0, :n]
+    return t_out[0, :n], i_out[0, :n], n_out[:, :n].T, m_out[0, :n]
