@@ -22,6 +22,44 @@ from flax import struct
 from ..utils import vec
 from . import materials as mat
 
+# Primitives are morton-sorted and grouped into clusters of this many rows;
+# must equal ops.pallas_intersect.PRIM_TILE so one kernel tile == one cluster.
+CLUSTER_SIZE = 256
+
+
+def _morton3(p: np.ndarray) -> np.ndarray:
+    """30-bit morton code of points normalized to [0,1)^3."""
+    def expand(v):
+        v = np.clip((v * 1023.0), 0, 1023).astype(np.uint32)
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return (expand(p[:, 0]) << 2) | (expand(p[:, 1]) << 1) | expand(p[:, 2])
+
+
+def _morton_order(centroids: np.ndarray) -> np.ndarray:
+    if centroids.shape[0] <= 1:
+        return np.arange(centroids.shape[0])
+    lo = centroids.min(axis=0)
+    span = np.maximum(centroids.max(axis=0) - lo, 1e-12)
+    return np.argsort(_morton3((centroids - lo) / span), kind="stable")
+
+
+def _cluster_aabbs(pmin: np.ndarray, pmax: np.ndarray, rows: int):
+    """Per-cluster AABBs for `rows` padded rows; empty clusters inverted."""
+    n_clusters = max(rows // CLUSTER_SIZE, 1)
+    cmin = np.full((n_clusters, 3), np.inf)
+    cmax = np.full((n_clusters, 3), -np.inf)
+    for c in range(n_clusters):
+        a, b = c * CLUSTER_SIZE, min((c + 1) * CLUSTER_SIZE, pmin.shape[0])
+        if a < pmin.shape[0]:
+            cmin[c] = pmin[a:b].min(axis=0)
+            cmax[c] = pmax[a:b].max(axis=0)
+    return cmin, cmax
+
 
 @struct.dataclass
 class Scene:
@@ -45,6 +83,13 @@ class Scene:
     mat_roughness: jnp.ndarray  # (M,)
     mat_metallic: jnp.ndarray   # (M,)
     mat_ior: jnp.ndarray        # (M,)
+
+    # Morton-clustered acceleration data: per 256-prim cluster AABBs
+    # (empty clusters carry an inverted box that can never be hit).
+    tri_cluster_min: jnp.ndarray  # (Ct, 3)
+    tri_cluster_max: jnp.ndarray  # (Ct, 3)
+    sph_cluster_min: jnp.ndarray  # (Cs, 3)
+    sph_cluster_max: jnp.ndarray  # (Cs, 3)
 
     # Emissive primitive ids (auto-detected, world.rs:213-225)
     light_prims: jnp.ndarray  # (L,) int32
@@ -128,6 +173,17 @@ class SceneBuilder:
         sphs = self._sphs or []
         mats = list(self._mats) or [mat.Lambertian((0.0, 0.0, 0.0))]
 
+        # Morton-sort primitives so consecutive rows are spatially local —
+        # each CLUSTER_SIZE-row kernel tile then has a tight AABB the
+        # intersection kernels can cull against. Light auto-detection below
+        # runs on the reordered lists, so light ids need no remapping.
+        if num_tris > 1:
+            cent = np.stack([(t[0] + t[1] + t[2]) / 3.0 for t in tris])
+            tris = [tris[i] for i in _morton_order(cent)]
+        if num_sphs > 1:
+            cent = np.stack([s[0] for s in sphs])
+            sphs = [sphs[i] for i in _morton_order(cent)]
+
         t_pad = max(num_tris, 1)
         s_pad = max(num_sphs, 1)
 
@@ -146,6 +202,19 @@ class SceneBuilder:
         for i, (c, r, mid) in enumerate(sphs):
             sph_center[i] = c; sph_radius[i] = r
             sph_mat_arr[i] = mid
+
+        # Cluster AABBs over the kernel-padded row counts.
+        tri_pts = np.stack([tri_v0, tri_v0 + tri_e1, tri_v0 + tri_e2])  # (3,T,3)
+        tri_cmin, tri_cmax = _cluster_aabbs(
+            tri_pts.min(axis=0)[:num_tris],
+            tri_pts.max(axis=0)[:num_tris],
+            -(-t_pad // CLUSTER_SIZE) * CLUSTER_SIZE,
+        )
+        sph_cmin, sph_cmax = _cluster_aabbs(
+            (sph_center - sph_radius[:, None])[:num_sphs],
+            (sph_center + sph_radius[:, None])[:num_sphs],
+            -(-s_pad // CLUSTER_SIZE) * CLUSTER_SIZE,
+        )
 
         rows = [mat.material_row(m) for m in mats]
         mat_kind = np.asarray([r[0] for r in rows], np.int32)
@@ -201,6 +270,10 @@ class SceneBuilder:
             mat_roughness=jnp.asarray(mat_roughness, dtype),
             mat_metallic=jnp.asarray(mat_metallic, dtype),
             mat_ior=jnp.asarray(mat_ior, dtype),
+            tri_cluster_min=jnp.asarray(tri_cmin, dtype),
+            tri_cluster_max=jnp.asarray(tri_cmax, dtype),
+            sph_cluster_min=jnp.asarray(sph_cmin, dtype),
+            sph_cluster_max=jnp.asarray(sph_cmax, dtype),
             light_prims=jnp.asarray(light_prims),
             light_geom=jnp.asarray(light_geom, dtype),
             num_tris=num_tris,

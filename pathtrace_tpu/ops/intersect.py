@@ -255,11 +255,15 @@ def intersect(
         interp = method == "pallas_interpret"
         tri_t, tri_p, tri_n, tri_m = pk.triangle_closest(
             o, d, t_min_b, t_max_b, scene.tri_v0, scene.tri_e1, scene.tri_e2,
-            scene.tri_normal, scene.tri_mat, interpret=interp,
+            scene.tri_normal, scene.tri_mat,
+            cluster_min=scene.tri_cluster_min, cluster_max=scene.tri_cluster_max,
+            interpret=interp,
         )
         sph_t, sph_p, sph_n, sph_m = pk.sphere_closest(
             o, d, t_min_b, t_max_b, scene.sph_center, scene.sph_radius,
-            scene.sph_mat, interpret=interp,
+            scene.sph_mat,
+            cluster_min=scene.sph_cluster_min, cluster_max=scene.sph_cluster_max,
+            interpret=interp,
         )
         sph_p = jnp.where(sph_p >= 0, sph_p + t_rows_real, -1)
 
@@ -332,7 +336,29 @@ def intersect(
     )
 
 
-def occluded(scene: Scene, o, d, t_min, t_max, tile: int | None = None) -> jnp.ndarray:
-    """Boolean visibility test (shadow rays). Currently closest-hit based; an
-    any-hit early-out is a later Pallas optimization."""
-    return intersect(scene, o, d, t_min, t_max, tile=tile).valid
+def occluded(
+    scene: Scene, o, d, t_min, t_max, tile: int | None = None, method: str = "auto"
+) -> jnp.ndarray:
+    """Boolean visibility test (shadow rays, rendering.rs:62-65).
+
+    On accelerators this is a dedicated fused any-hit kernel over both
+    primitive classes (no closest-hit bookkeeping); on CPU it reuses the
+    bruteforce closest-hit path.
+    """
+    if method == "auto":
+        method = default_method()
+    if method in ("pallas", "pallas_interpret"):
+        from . import pallas_intersect as pk
+
+        n = o.shape[0]
+        t_min_b = jnp.broadcast_to(jnp.asarray(t_min, o.dtype), (n,))
+        t_max_b = jnp.broadcast_to(jnp.asarray(t_max, o.dtype), (n,))
+        return pk.any_hit(
+            o, d, t_min_b, t_max_b,
+            scene.sph_center, scene.sph_radius,
+            scene.tri_v0, scene.tri_e1, scene.tri_e2,
+            sph_cluster=(scene.sph_cluster_min, scene.sph_cluster_max),
+            tri_cluster=(scene.tri_cluster_min, scene.tri_cluster_max),
+            interpret=method == "pallas_interpret",
+        )
+    return intersect(scene, o, d, t_min, t_max, tile=tile, method=method).valid

@@ -58,3 +58,13 @@ def test_pallas_ragged_wave_sizes():
         hb = intersect(sc, o, d, 1e-3, jnp.inf, method="bruteforce")
         hp = intersect(sc, o, d, 1e-3, jnp.inf, method="pallas_interpret")
         np.testing.assert_array_equal(np.asarray(hb.prim), np.asarray(hp.prim))
+
+
+def test_anyhit_matches_closesthit_validity():
+    from pathtrace_tpu.ops.intersect import occluded
+    sc = scenes.many_spheres(n_per_side=4)
+    o, d = random_rays(700, seed=42)
+    t_max = jnp.full((700,), 20.0)
+    a = occluded(sc, o, d, 1e-3, t_max, method="bruteforce")
+    b = occluded(sc, o, d, 1e-3, t_max, method="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
