@@ -23,8 +23,11 @@ from ..utils import vec
 from . import materials as mat
 
 # Primitives are morton-sorted and grouped into clusters of this many rows;
-# must equal ops.pallas_intersect.PRIM_TILE so one kernel tile == one cluster.
-CLUSTER_SIZE = 256
+# the Pallas kernels use one cluster per tile, so these must match the
+# prim_tile the intersection layer passes. Spheres use finer clusters: their
+# per-row test is cheap, so a smaller tile buys more AABB-cull opportunities.
+CLUSTER_SIZE = 256       # triangles
+SPH_CLUSTER_SIZE = 64    # spheres
 
 
 def _morton3(p: np.ndarray) -> np.ndarray:
@@ -48,13 +51,13 @@ def _morton_order(centroids: np.ndarray) -> np.ndarray:
     return np.argsort(_morton3((centroids - lo) / span), kind="stable")
 
 
-def _cluster_aabbs(pmin: np.ndarray, pmax: np.ndarray, rows: int):
+def _cluster_aabbs(pmin: np.ndarray, pmax: np.ndarray, rows: int, cluster: int):
     """Per-cluster AABBs for `rows` padded rows; empty clusters inverted."""
-    n_clusters = max(rows // CLUSTER_SIZE, 1)
+    n_clusters = max(rows // cluster, 1)
     cmin = np.full((n_clusters, 3), np.inf)
     cmax = np.full((n_clusters, 3), -np.inf)
     for c in range(n_clusters):
-        a, b = c * CLUSTER_SIZE, min((c + 1) * CLUSTER_SIZE, pmin.shape[0])
+        a, b = c * cluster, min((c + 1) * cluster, pmin.shape[0])
         if a < pmin.shape[0]:
             cmin[c] = pmin[a:b].min(axis=0)
             cmax[c] = pmax[a:b].max(axis=0)
@@ -209,11 +212,13 @@ class SceneBuilder:
             tri_pts.min(axis=0)[:num_tris],
             tri_pts.max(axis=0)[:num_tris],
             -(-t_pad // CLUSTER_SIZE) * CLUSTER_SIZE,
+            CLUSTER_SIZE,
         )
         sph_cmin, sph_cmax = _cluster_aabbs(
             (sph_center - sph_radius[:, None])[:num_sphs],
             (sph_center + sph_radius[:, None])[:num_sphs],
-            -(-s_pad // CLUSTER_SIZE) * CLUSTER_SIZE,
+            -(-s_pad // SPH_CLUSTER_SIZE) * SPH_CLUSTER_SIZE,
+            SPH_CLUSTER_SIZE,
         )
 
         rows = [mat.material_row(m) for m in mats]

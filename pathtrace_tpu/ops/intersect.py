@@ -251,18 +251,28 @@ def intersect(
 
     if method in ("pallas", "pallas_interpret"):
         from . import pallas_intersect as pk
+        from ..models.scene import SPH_CLUSTER_SIZE
 
         interp = method == "pallas_interpret"
+        # Tiny primitive tables get a right-sized tile instead of paying for a
+        # full 256-row cluster of padding (measured ~1.5 ms/call of pure
+        # padding work for a 2-triangle scene at production wave sizes).
+        tri_small = t_rows_real <= 64
+        sph_small = s_rows <= 16
         tri_t, tri_p, tri_n, tri_m = pk.triangle_closest(
             o, d, t_min_b, t_max_b, scene.tri_v0, scene.tri_e1, scene.tri_e2,
             scene.tri_normal, scene.tri_mat,
-            cluster_min=scene.tri_cluster_min, cluster_max=scene.tri_cluster_max,
+            cluster_min=None if tri_small else scene.tri_cluster_min,
+            cluster_max=None if tri_small else scene.tri_cluster_max,
+            prim_tile=_round_tile(t_rows_real, 8) if tri_small else 256,
             interpret=interp,
         )
         sph_t, sph_p, sph_n, sph_m = pk.sphere_closest(
             o, d, t_min_b, t_max_b, scene.sph_center, scene.sph_radius,
             scene.sph_mat,
-            cluster_min=scene.sph_cluster_min, cluster_max=scene.sph_cluster_max,
+            cluster_min=None if sph_small else scene.sph_cluster_min,
+            cluster_max=None if sph_small else scene.sph_cluster_max,
+            prim_tile=_round_tile(s_rows, 8) if sph_small else SPH_CLUSTER_SIZE,
             interpret=interp,
         )
         sph_p = jnp.where(sph_p >= 0, sph_p + t_rows_real, -1)
@@ -353,12 +363,34 @@ def occluded(
         n = o.shape[0]
         t_min_b = jnp.broadcast_to(jnp.asarray(t_min, o.dtype), (n,))
         t_max_b = jnp.broadcast_to(jnp.asarray(t_max, o.dtype), (n,))
+        t_rows_real = scene.tri_v0.shape[0]
+        s_rows = scene.sph_center.shape[0]
+        from ..models.scene import SPH_CLUSTER_SIZE
+        tri_small = t_rows_real <= 64
+        sph_small = s_rows <= 16
+        # any_hit shares one prim_tile for both classes; pick the smaller
+        # aligned tile that still matches each class's cluster stride.
+        if tri_small and sph_small:
+            prim_tile = _round_tile(max(t_rows_real, s_rows), 8)
+            tri_cluster = sph_cluster = None
+        else:
+            prim_tile = SPH_CLUSTER_SIZE if (tri_small or not sph_small) else 256
+            # Clusters only usable when their stride equals prim_tile.
+            tri_cluster = (
+                (scene.tri_cluster_min, scene.tri_cluster_max)
+                if (not tri_small and prim_tile == 256) else None
+            )
+            sph_cluster = (
+                (scene.sph_cluster_min, scene.sph_cluster_max)
+                if (not sph_small and prim_tile == SPH_CLUSTER_SIZE) else None
+            )
         return pk.any_hit(
             o, d, t_min_b, t_max_b,
             scene.sph_center, scene.sph_radius,
             scene.tri_v0, scene.tri_e1, scene.tri_e2,
-            sph_cluster=(scene.sph_cluster_min, scene.sph_cluster_max),
-            tri_cluster=(scene.tri_cluster_min, scene.tri_cluster_max),
+            sph_cluster=sph_cluster,
+            tri_cluster=tri_cluster,
+            prim_tile=prim_tile,
             interpret=method == "pallas_interpret",
         )
     return intersect(scene, o, d, t_min, t_max, tile=tile, method=method).valid

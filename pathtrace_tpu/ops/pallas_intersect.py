@@ -109,7 +109,8 @@ def _tile_box_hit(aabb_ref, s, o, inv_d, t_min, t_upper):
 # ---------------------------------------------------------------------------
 
 def _sphere_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, aux_ref,
-                   aabb_ref, t_ref, i_ref, n_ref, m_ref, *, prim_tiles, prim_tile):
+                   aabb_ref, t_ref, i_ref, n_ref, m_ref, st_t, st_i, st_g,
+                   *, prim_tiles, prim_tile):
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]   # (1, R)
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
     t_min = tmin_ref[0:1, :]
@@ -117,76 +118,76 @@ def _sphere_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, aux_ref,
 
     od = ox * dx + oy * dy + oz * dz
     oo = ox * ox + oy * oy + oz * oz
-
-    best_t = jnp.full(t_min.shape, _INF)
-    best_i = jnp.full(t_min.shape, -1, jnp.int32)
-    zero = jnp.zeros_like(t_min)
-    best = (best_t, best_i, zero, zero, zero, zero, zero)  # + cx, cy, cz, inv_r, mat
-
     inv_d = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
 
-    def heavy(s, carry):
-        best_t, best_i, bcx, bcy, bcz, bir, bm = carry
-        sl = pl.ds(s * prim_tile, prim_tile)
-        cx = c_ref[sl, 0:1]   # (P, 1)
-        cy = c_ref[sl, 1:2]
-        cz = c_ref[sl, 2:3]
-        r2 = r2_ref[sl, 0:1]
-        inv_r = aux_ref[sl, 0:1]   # 1/radius (0 for padding)
-        matid = aux_ref[sl, 1:2]   # material id as f32
+    st_t[:, :] = jnp.full(t_min.shape, _INF)
+    st_i[:, :] = jnp.full(t_min.shape, -1, jnp.int32)
+    st_g[:, :] = jnp.zeros((4, t_min.shape[1]), t_min.dtype)
 
-        cd = cx * dx + cy * dy + cz * dz            # (P, R)
-        co = cx * ox + cy * oy + cz * oz
-        cc = cx * cx + cy * cy + cz * cz
-        half_b = od - cd
-        c = oo - 2.0 * co + cc - r2
-        disc = half_b * half_b - c                   # a == 1 (unit directions)
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        root1 = -half_b - sq
-        root2 = -half_b + sq
-        live = (disc >= 0.0) & (r2 > 0.0)
-        ok1 = live & (root1 >= t_min) & (root1 <= t_max)
-        ok2 = live & (root2 >= t_min) & (root2 <= t_max)
-        ts = jnp.where(ok1, root1, jnp.where(ok2, root2, _INF))
-
-        tmin_tile = jnp.min(ts, axis=0, keepdims=True)           # (1, R)
-        arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
-        better = tmin_tile < best_t
-
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
-        mask_f = ((row_iota == arg) & better).astype(ts.dtype)
-        scx, scy, scz, sir, sm = _select_winner(mask_f, (cx, cy, cz, inv_r, matid))
-
-        best_i = jnp.where(better, s * prim_tile + arg, best_i)
-        best_t = jnp.where(better, tmin_tile, best_t)
-        bcx = jnp.where(better, scx, bcx)
-        bcy = jnp.where(better, scy, bcy)
-        bcz = jnp.where(better, scz, bcz)
-        bir = jnp.where(better, sir, bir)
-        bm = jnp.where(better, sm, bm)
-        return best_t, best_i, bcx, bcy, bcz, bir, bm
-
-    def body(s, carry):
+    def body(s, _):
         enter = _tile_box_hit(
             aabb_ref, s, (ox, oy, oz), inv_d, t_min,
-            jnp.minimum(t_max, carry[0]),
+            jnp.minimum(t_max, st_t[0:1, :]),
         )
-        return jax.lax.cond(enter, lambda c: heavy(s, c), lambda c: c, carry)
 
-    best_t, best_i, bcx, bcy, bcz, bir, bm = jax.lax.fori_loop(
-        0, prim_tiles, body, best
-    )
+        @pl.when(enter)
+        def _():
+            sl = pl.ds(s * prim_tile, prim_tile)
+            cx = c_ref[sl, 0:1]   # (P, 1)
+            cy = c_ref[sl, 1:2]
+            cz = c_ref[sl, 2:3]
+            r2 = r2_ref[sl, 0:1]
+            inv_r = aux_ref[sl, 0:1]   # 1/radius (0 for padding)
+            matid = aux_ref[sl, 1:2]   # material id as f32
+
+            cd = cx * dx + cy * dy + cz * dz            # (P, R)
+            co = cx * ox + cy * oy + cz * oz
+            cc = cx * cx + cy * cy + cz * cz
+            half_b = od - cd
+            c = oo - 2.0 * co + cc - r2
+            disc = half_b * half_b - c                   # a == 1 (unit directions)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            root1 = -half_b - sq
+            root2 = -half_b + sq
+            live = (disc >= 0.0) & (r2 > 0.0)
+            ok1 = live & (root1 >= t_min) & (root1 <= t_max)
+            ok2 = live & (root2 >= t_min) & (root2 <= t_max)
+            ts = jnp.where(ok1, root1, jnp.where(ok2, root2, _INF))
+
+            best_t = st_t[0:1, :]
+            tmin_tile = jnp.min(ts, axis=0, keepdims=True)           # (1, R)
+            arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
+            better = tmin_tile < best_t
+
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
+            mask_f = ((row_iota == arg) & better).astype(ts.dtype)
+            scx, scy, scz, sir = _select_winner(mask_f, (cx, cy, cz, inv_r))
+            (sm,) = _select_winner(mask_f, (matid,))
+
+            st_i[:, :] = jnp.where(better, s * prim_tile + arg, st_i[0:1, :])
+            st_t[:, :] = jnp.where(better, tmin_tile, best_t)
+            geo = jnp.concatenate([scx, scy, scz, sir], axis=0)      # (4, R)
+            st_g[0:4, :] = jnp.where(better, geo, st_g[0:4, :])
+            m_ref[:, :] = jnp.where(better, sm, m_ref[0:1, :].astype(ts.dtype)).astype(jnp.int32)
+
+        return 0
+
+    m_ref[:, :] = jnp.zeros(t_min.shape, jnp.int32)
+    jax.lax.fori_loop(0, prim_tiles, body, 0)
+
+    best_t = st_t[0:1, :]
+    best_i = st_i[0:1, :]
     hit = best_i >= 0
     tt = jnp.where(hit, best_t, 0.0)
-    nx = (ox + tt * dx - bcx) * bir
-    ny = (oy + tt * dy - bcy) * bir
-    nz = (oz + tt * dz - bcz) * bir
+    bir = st_g[3:4, :]
+    nx = (ox + tt * dx - st_g[0:1, :]) * bir
+    ny = (oy + tt * dy - st_g[1:2, :]) * bir
+    nz = (oz + tt * dz - st_g[2:3, :]) * bir
     t_ref[:, :] = jnp.where(hit, best_t, _INF)
     i_ref[:, :] = best_i
     n_ref[0:1, :] = nx
     n_ref[1:2, :] = ny
     n_ref[2:3, :] = nz
-    m_ref[:, :] = bm.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "ray_tile", "prim_tile"))
@@ -243,6 +244,11 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, sph_mat=None,
             jax.ShapeDtypeStruct((3, n_pad), o.dtype),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((1, ray_tile), o.dtype),
+            pltpu.VMEM((1, ray_tile), jnp.int32),
+            pltpu.VMEM((4, ray_tile), o.dtype),
+        ],
         interpret=interpret,
     )(o_t, d_t, tmin_r, tmax_r, c_p, r2_p, aux, aabb)
     return t_out[0, :n], i_out[0, :n], n_out[:, :n].T, m_out[0, :n]
@@ -253,80 +259,76 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, sph_mat=None,
 # ---------------------------------------------------------------------------
 
 def _triangle_kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, aabb_ref,
-                     t_ref, i_ref, n_ref, m_ref, *, prim_tiles, prim_tile):
+                     t_ref, i_ref, n_ref, m_ref, st_t, st_i,
+                     *, prim_tiles, prim_tile):
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
     t_min = tmin_ref[0:1, :]
     t_max = tmax_ref[0:1, :]
-
-    best_t = jnp.full(t_min.shape, _INF)
-    best_i = jnp.full(t_min.shape, -1, jnp.int32)
-    zero = jnp.zeros_like(t_min)
-    best = (best_t, best_i, zero, zero, zero, zero)  # + nx, ny, nz, mat
-
     inv_d = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
 
-    def heavy(s, carry):
-        best_t, best_i, bnx, bny, bnz, bm = carry
-        sl = pl.ds(s * prim_tile, prim_tile)
-        v0x = tri_ref[sl, 0:1]; v0y = tri_ref[sl, 1:2]; v0z = tri_ref[sl, 2:3]
-        e1x = tri_ref[sl, 3:4]; e1y = tri_ref[sl, 4:5]; e1z = tri_ref[sl, 5:6]
-        e2x = tri_ref[sl, 6:7]; e2y = tri_ref[sl, 7:8]; e2z = tri_ref[sl, 8:9]
-        nx = tri_ref[sl, 9:10]; ny = tri_ref[sl, 10:11]; nz = tri_ref[sl, 11:12]
-        matid = tri_ref[sl, 12:13]
+    st_t[:, :] = jnp.full(t_min.shape, _INF)
+    st_i[:, :] = jnp.full(t_min.shape, -1, jnp.int32)
+    n_ref[:, :] = jnp.zeros((3, t_min.shape[1]), t_min.dtype)
+    m_ref[:, :] = jnp.zeros(t_min.shape, jnp.int32)
 
-        # h = d × e2 (P, R)
-        hx = dy * e2z - dz * e2y
-        hy = dz * e2x - dx * e2z
-        hz = dx * e2y - dy * e2x
-        a = e1x * hx + e1y * hy + e1z * hz
-        f = 1.0 / a
-        sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
-        u = f * (sx * hx + sy * hy + sz * hz)
-        # q = s × e1
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = f * (dx * qx + dy * qy + dz * qz)
-        t = f * (e2x * qx + e2y * qy + e2z * qz)
-        ok = (
-            (jnp.abs(a) >= 1e-8)
-            & (u >= 0.0) & (u <= 1.0)
-            & (v >= 0.0) & (u + v <= 1.0)
-            & (t >= t_min) & (t <= t_max)
-        )
-        ts = jnp.where(ok, t, _INF)
-
-        tmin_tile = jnp.min(ts, axis=0, keepdims=True)
-        arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
-        better = tmin_tile < best_t
-
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
-        mask_f = ((row_iota == arg) & better).astype(ts.dtype)
-        snx, sny, snz, sm = _select_winner(mask_f, (nx, ny, nz, matid))
-
-        best_i = jnp.where(better, s * prim_tile + arg, best_i)
-        best_t = jnp.where(better, tmin_tile, best_t)
-        bnx = jnp.where(better, snx, bnx)
-        bny = jnp.where(better, sny, bny)
-        bnz = jnp.where(better, snz, bnz)
-        bm = jnp.where(better, sm, bm)
-        return best_t, best_i, bnx, bny, bnz, bm
-
-    def body(s, carry):
+    def body(s, _):
         enter = _tile_box_hit(
             aabb_ref, s, (ox, oy, oz), inv_d, t_min,
-            jnp.minimum(t_max, carry[0]),
+            jnp.minimum(t_max, st_t[0:1, :]),
         )
-        return jax.lax.cond(enter, lambda c: heavy(s, c), lambda c: c, carry)
 
-    best_t, best_i, bnx, bny, bnz, bm = jax.lax.fori_loop(0, prim_tiles, body, best)
-    t_ref[:, :] = best_t
-    i_ref[:, :] = best_i
-    n_ref[0:1, :] = bnx
-    n_ref[1:2, :] = bny
-    n_ref[2:3, :] = bnz
-    m_ref[:, :] = bm.astype(jnp.int32)
+        @pl.when(enter)
+        def _():
+            sl = pl.ds(s * prim_tile, prim_tile)
+            v0x = tri_ref[sl, 0:1]; v0y = tri_ref[sl, 1:2]; v0z = tri_ref[sl, 2:3]
+            e1x = tri_ref[sl, 3:4]; e1y = tri_ref[sl, 4:5]; e1z = tri_ref[sl, 5:6]
+            e2x = tri_ref[sl, 6:7]; e2y = tri_ref[sl, 7:8]; e2z = tri_ref[sl, 8:9]
+            nx = tri_ref[sl, 9:10]; ny = tri_ref[sl, 10:11]; nz = tri_ref[sl, 11:12]
+            matid = tri_ref[sl, 12:13]
+
+            # h = d × e2 (P, R)
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a
+            sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            # q = s × e1
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (dx * qx + dy * qy + dz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            ok = (
+                (jnp.abs(a) >= 1e-8)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= t_min) & (t <= t_max)
+            )
+            ts = jnp.where(ok, t, _INF)
+
+            best_t = st_t[0:1, :]
+            tmin_tile = jnp.min(ts, axis=0, keepdims=True)
+            arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
+            better = tmin_tile < best_t
+
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
+            mask_f = ((row_iota == arg) & better).astype(ts.dtype)
+            snx, sny, snz, sm = _select_winner(mask_f, (nx, ny, nz, matid))
+
+            st_i[:, :] = jnp.where(better, s * prim_tile + arg, st_i[0:1, :])
+            st_t[:, :] = jnp.where(better, tmin_tile, best_t)
+            nrm = jnp.concatenate([snx, sny, snz], axis=0)
+            n_ref[0:3, :] = jnp.where(better, nrm, n_ref[0:3, :])
+            m_ref[:, :] = jnp.where(better, sm, m_ref[0:1, :].astype(ts.dtype)).astype(jnp.int32)
+
+        return 0
+
+    jax.lax.fori_loop(0, prim_tiles, body, 0)
+    t_ref[:, :] = st_t[0:1, :]
+    i_ref[:, :] = st_i[0:1, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "ray_tile", "prim_tile"))
@@ -385,6 +387,10 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
             jax.ShapeDtypeStruct((3, n_pad), o.dtype),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((1, ray_tile), o.dtype),
+            pltpu.VMEM((1, ray_tile), jnp.int32),
+        ],
         interpret=interpret,
     )(o_t, d_t, tmin_r, tmax_r, tri, aabb)
     return t_out[0, :n], i_out[0, :n], n_out[:, :n].T, m_out[0, :n]
@@ -404,66 +410,69 @@ def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, tri_ref,
 
     od = ox * dx + oy * dy + oz * dz
     oo = ox * ox + oy * oy + oz * oz
-
     inv_d = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
 
-    def sph_heavy(s, occ):
-        sl = pl.ds(s * prim_tile, prim_tile)
-        cx = c_ref[sl, 0:1]; cy = c_ref[sl, 1:2]; cz = c_ref[sl, 2:3]
-        r2 = r2_ref[sl, 0:1]
-        cd = cx * dx + cy * dy + cz * dz
-        co = cx * ox + cy * oy + cz * oz
-        cc = cx * cx + cy * cy + cz * cz
-        half_b = od - cd
-        c = oo - 2.0 * co + cc - r2
-        disc = half_b * half_b - c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        root1 = -half_b - sq
-        root2 = -half_b + sq
-        live = (disc >= 0.0) & (r2 > 0.0)
-        ok = live & (
-            ((root1 >= t_min) & (root1 <= t_max))
-            | ((root2 >= t_min) & (root2 <= t_max))
-        )
-        return occ | jnp.any(ok, axis=0, keepdims=True)
+    occ_ref[:, :] = jnp.zeros(t_min.shape, jnp.int32)
 
-    def sph_body(s, occ):
+    def sph_body(s, _):
         enter = _tile_box_hit(sph_aabb_ref, s, (ox, oy, oz), inv_d, t_min, t_max)
-        return jax.lax.cond(enter, lambda c: sph_heavy(s, c), lambda c: c, occ)
 
-    def tri_heavy(s, occ):
-        sl = pl.ds(s * prim_tile, prim_tile)
-        v0x = tri_ref[sl, 0:1]; v0y = tri_ref[sl, 1:2]; v0z = tri_ref[sl, 2:3]
-        e1x = tri_ref[sl, 3:4]; e1y = tri_ref[sl, 4:5]; e1z = tri_ref[sl, 5:6]
-        e2x = tri_ref[sl, 6:7]; e2y = tri_ref[sl, 7:8]; e2z = tri_ref[sl, 8:9]
-        hx = dy * e2z - dz * e2y
-        hy = dz * e2x - dx * e2z
-        hz = dx * e2y - dy * e2x
-        a = e1x * hx + e1y * hy + e1z * hz
-        f = 1.0 / a
-        sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
-        u = f * (sx * hx + sy * hy + sz * hz)
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = f * (dx * qx + dy * qy + dz * qz)
-        t = f * (e2x * qx + e2y * qy + e2z * qz)
-        ok = (
-            (jnp.abs(a) >= 1e-8)
-            & (u >= 0.0) & (u <= 1.0)
-            & (v >= 0.0) & (u + v <= 1.0)
-            & (t >= t_min) & (t <= t_max)
-        )
-        return occ | jnp.any(ok, axis=0, keepdims=True)
+        @pl.when(enter)
+        def _():
+            sl = pl.ds(s * prim_tile, prim_tile)
+            cx = c_ref[sl, 0:1]; cy = c_ref[sl, 1:2]; cz = c_ref[sl, 2:3]
+            r2 = r2_ref[sl, 0:1]
+            cd = cx * dx + cy * dy + cz * dz
+            co = cx * ox + cy * oy + cz * oz
+            cc = cx * cx + cy * cy + cz * cz
+            half_b = od - cd
+            c = oo - 2.0 * co + cc - r2
+            disc = half_b * half_b - c
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            root1 = -half_b - sq
+            root2 = -half_b + sq
+            live = (disc >= 0.0) & (r2 > 0.0)
+            ok = live & (
+                ((root1 >= t_min) & (root1 <= t_max))
+                | ((root2 >= t_min) & (root2 <= t_max))
+            )
+            occ_ref[:, :] = occ_ref[0:1, :] | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
 
-    def tri_body(s, occ):
+        return 0
+
+    def tri_body(s, _):
         enter = _tile_box_hit(tri_aabb_ref, s, (ox, oy, oz), inv_d, t_min, t_max)
-        return jax.lax.cond(enter, lambda c: tri_heavy(s, c), lambda c: c, occ)
 
-    occ = jnp.zeros(t_min.shape, bool)
-    occ = jax.lax.fori_loop(0, sph_tiles, sph_body, occ)
-    occ = jax.lax.fori_loop(0, tri_tiles, tri_body, occ)
-    occ_ref[:, :] = occ.astype(jnp.int32)
+        @pl.when(enter)
+        def _():
+            sl = pl.ds(s * prim_tile, prim_tile)
+            v0x = tri_ref[sl, 0:1]; v0y = tri_ref[sl, 1:2]; v0z = tri_ref[sl, 2:3]
+            e1x = tri_ref[sl, 3:4]; e1y = tri_ref[sl, 4:5]; e1z = tri_ref[sl, 5:6]
+            e2x = tri_ref[sl, 6:7]; e2y = tri_ref[sl, 7:8]; e2z = tri_ref[sl, 8:9]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a
+            sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (dx * qx + dy * qy + dz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            ok = (
+                (jnp.abs(a) >= 1e-8)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= t_min) & (t <= t_max)
+            )
+            occ_ref[:, :] = occ_ref[0:1, :] | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+
+        return 0
+
+    jax.lax.fori_loop(0, sph_tiles, sph_body, 0)
+    jax.lax.fori_loop(0, tri_tiles, tri_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "ray_tile", "prim_tile"))
