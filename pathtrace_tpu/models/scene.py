@@ -27,7 +27,7 @@ from . import materials as mat
 # prim_tile the intersection layer passes. Spheres use finer clusters: their
 # per-row test is cheap, so a smaller tile buys more AABB-cull opportunities.
 CLUSTER_SIZE = 256       # triangles
-SPH_CLUSTER_SIZE = 64    # spheres
+SPH_CLUSTER_SIZE = 256   # spheres
 
 
 def _morton3(p: np.ndarray) -> np.ndarray:
