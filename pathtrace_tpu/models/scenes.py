@@ -110,3 +110,37 @@ def many_spheres(seed: int = 3, n_per_side: int = 11) -> Scene:
 
 def many_spheres_camera(width: int = 512, height: int = 512) -> Camera:
     return Camera.look_at((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), width, height, 30.0)
+
+
+def mesh_scene(n_tris: int = 70000) -> Scene:
+    """BASELINE config 4: a ~70k-triangle mesh (procedural torus-knot standing
+    in for the Stanford bunny — no network egress in this environment) among
+    spheres on a ground plane, under an emissive dome."""
+    from ..meshes import knot_mesh
+
+    b = SceneBuilder()
+    b.add_quad((-40, -1.0, -40), (40, -1.0, -40), (40, -1.0, 40), (-40, -1.0, 40),
+               Lambertian((0.45, 0.45, 0.45)))
+    verts, faces = knot_mesh(n_tris=n_tris, scale=1.2, center=(0.0, 0.35, 0.0))
+    b.add_mesh(verts, faces, Lambertian((0.65, 0.45, 0.25)))
+    b.add_sphere((-2.6, -0.3, 1.2), 0.7, Mirror(roughness=0.05, metallic=1.0,
+                                                color=(0.9, 0.9, 0.95)))
+    b.add_sphere((2.6, -0.3, 1.2), 0.7, Mirror(roughness=0.05, metallic=0.0, ior=1.5))
+    b.add_sphere((0.0, 40.0, 0.0), 22.0, Emissive((5.0, 5.0, 5.0)))
+    return b.build()
+
+
+def mesh_scene_camera(width: int = 1920, height: int = 1080) -> Camera:
+    return Camera.look_at((0.0, 1.6, 5.5), (0.0, 0.2, 0.0), (0.0, 1.0, 0.0),
+                          width, height, 40.0)
+
+
+def sweep_cameras(num_frames: int = 120, width: int = 640, height: int = 360,
+                  radius: float = 5.5, target=(0.0, 0.2, 0.0), fov: float = 40.0):
+    """BASELINE config 5: circular camera sweep around the mesh scene."""
+    cams = []
+    for f in range(num_frames):
+        a = 2.0 * np.pi * f / num_frames
+        origin = (radius * np.sin(a), 1.6, radius * np.cos(a))
+        cams.append(Camera.look_at(origin, target, (0.0, 1.0, 0.0), width, height, fov))
+    return cams

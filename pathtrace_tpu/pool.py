@@ -78,6 +78,7 @@ def _per_slot_uniforms(keys, bounces, dtype):
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "integrator", "max_bounces", "num_slots", "seed",
+        "sample_offset",
     ),
 )
 def render_pool(
@@ -91,6 +92,7 @@ def render_pool(
     max_bounces: int = 64,
     num_slots: int = 262144,
     seed: int = 0,
+    sample_offset: int = 0,
 ):
     """Render the full frame with a saturated path pool.
 
@@ -141,7 +143,9 @@ def render_pool(
         free = ~s.busy
         refill = free & (s.cursor < work_per_slot)
         new_pixel = (s.cursor % chunks) * S + slot_ids
-        new_sample = s.cursor // chunks
+        # Global sample index: progressive passes continue the same
+        # counter-RNG streams (sample_offset = samples already rendered).
+        new_sample = s.cursor // chunks + sample_offset
         # Padding pixels (id >= num_pixels) are traced against pixel id but
         # never flushed; the waste is <= S/num_pixels of total work.
         pixel_ok = new_pixel < num_pixels
