@@ -102,3 +102,18 @@ def test_default_and_many_sphere_scenes():
         RenderConfig(**SMALL, spp=1),
     )
     assert np.isfinite(np.asarray(st2.image)).all()
+
+
+def test_profiled_render_stats():
+    from pathtrace_tpu.profiler import profiled_render
+
+    sc = scenes.cornell_box()
+    cam = scenes.cornell_camera(**SMALL)
+    state, stats = profiled_render(
+        sc, cam, width=32, height=32, spp=2, integrator="mis",
+        max_bounces=8, num_slots=256,
+    )
+    assert state.num_samples == 2
+    assert stats.traced_rays > 32 * 32 * 2
+    assert stats.mrays_per_s > 0
+    assert "traced_rays" in stats.to_json()
