@@ -259,7 +259,7 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, sph_mat=None,
 # ---------------------------------------------------------------------------
 
 def _triangle_kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, aabb_ref,
-                     t_ref, i_ref, n_ref, m_ref, st_t, st_i,
+                     t_ref, i_ref, n_ref, m_ref, st_t, st_i, tri_tile_ref, dma_sem,
                      *, prim_tiles, prim_tile):
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
@@ -280,12 +280,19 @@ def _triangle_kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, aabb_ref,
 
         @pl.when(enter)
         def _():
-            sl = pl.ds(s * prim_tile, prim_tile)
-            v0x = tri_ref[sl, 0:1]; v0y = tri_ref[sl, 1:2]; v0z = tri_ref[sl, 2:3]
-            e1x = tri_ref[sl, 3:4]; e1y = tri_ref[sl, 4:5]; e1z = tri_ref[sl, 5:6]
-            e2x = tri_ref[sl, 6:7]; e2y = tri_ref[sl, 7:8]; e2z = tri_ref[sl, 8:9]
-            nx = tri_ref[sl, 9:10]; ny = tri_ref[sl, 10:11]; nz = tri_ref[sl, 11:12]
-            matid = tri_ref[sl, 12:13]
+            # Stream this cluster's rows from HBM: a (T, 13) table resident in
+            # VMEM would be lane-padded 13 -> 128 (~14x waste, OOM at 70k tris);
+            # the AABB cull above also skips the fetch entirely.
+            cp = pltpu.make_async_copy(
+                tri_ref.at[pl.ds(s * prim_tile, prim_tile), :], tri_tile_ref, dma_sem
+            )
+            cp.start()
+            cp.wait()
+            v0x = tri_tile_ref[:, 0:1]; v0y = tri_tile_ref[:, 1:2]; v0z = tri_tile_ref[:, 2:3]
+            e1x = tri_tile_ref[:, 3:4]; e1y = tri_tile_ref[:, 4:5]; e1z = tri_tile_ref[:, 5:6]
+            e2x = tri_tile_ref[:, 6:7]; e2y = tri_tile_ref[:, 7:8]; e2z = tri_tile_ref[:, 8:9]
+            nx = tri_tile_ref[:, 9:10]; ny = tri_tile_ref[:, 10:11]; nz = tri_tile_ref[:, 11:12]
+            matid = tri_tile_ref[:, 12:13]
 
             # h = d × e2 (P, R)
             hx = dy * e2z - dz * e2y
@@ -372,7 +379,7 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
             pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table resident
+            pl.BlockSpec(memory_space=pltpu.ANY),   # triangle table (HBM, DMA'd per tile)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster AABBs
         ],
         out_specs=[
@@ -390,6 +397,8 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
         scratch_shapes=[
             pltpu.VMEM((1, ray_tile), o.dtype),
             pltpu.VMEM((1, ray_tile), jnp.int32),
+            pltpu.VMEM((prim_tile, 13), o.dtype),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(o_t, d_t, tmin_r, tmax_r, tri, aabb)
@@ -401,7 +410,7 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
 # ---------------------------------------------------------------------------
 
 def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, tri_ref,
-                   sph_aabb_ref, tri_aabb_ref, occ_ref,
+                   sph_aabb_ref, tri_aabb_ref, occ_ref, tri_tile_ref, dma_sem,
                    *, sph_tiles, tri_tiles, prim_tile):
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
@@ -445,10 +454,16 @@ def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, tri_ref,
 
         @pl.when(enter)
         def _():
-            sl = pl.ds(s * prim_tile, prim_tile)
-            v0x = tri_ref[sl, 0:1]; v0y = tri_ref[sl, 1:2]; v0z = tri_ref[sl, 2:3]
-            e1x = tri_ref[sl, 3:4]; e1y = tri_ref[sl, 4:5]; e1z = tri_ref[sl, 5:6]
-            e2x = tri_ref[sl, 6:7]; e2y = tri_ref[sl, 7:8]; e2z = tri_ref[sl, 8:9]
+            # Triangle table lives in HBM (lane-padding a (T,9) table in VMEM
+            # wastes ~14x); the cull above also skips the fetch.
+            cp = pltpu.make_async_copy(
+                tri_ref.at[pl.ds(s * prim_tile, prim_tile), :], tri_tile_ref, dma_sem
+            )
+            cp.start()
+            cp.wait()
+            v0x = tri_tile_ref[:, 0:1]; v0y = tri_tile_ref[:, 1:2]; v0z = tri_tile_ref[:, 2:3]
+            e1x = tri_tile_ref[:, 3:4]; e1y = tri_tile_ref[:, 4:5]; e1z = tri_tile_ref[:, 5:6]
+            e2x = tri_tile_ref[:, 6:7]; e2y = tri_tile_ref[:, 7:8]; e2z = tri_tile_ref[:, 8:9]
             hx = dy * e2z - dz * e2y
             hy = dz * e2x - dx * e2z
             hz = dx * e2y - dy * e2x
@@ -478,7 +493,10 @@ def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, tri_ref,
 @functools.partial(jax.jit, static_argnames=("interpret", "ray_tile", "prim_tile"))
 def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
             sph_cluster=None, tri_cluster=None,
-            interpret=False, ray_tile=RAY_TILE, prim_tile=PRIM_TILE):
+            interpret=False, ray_tile=256, prim_tile=PRIM_TILE):
+    # ray_tile default is half the closest-hit kernels': this kernel holds
+    # BOTH primitive classes' tile temporaries in VMEM at once, and 512-lane
+    # tiles blow the 16 MB scoped-vmem budget on 70k-triangle scenes.
     """Occlusion query over both primitive classes in one fused kernel.
 
     Same hit criteria as the closest-hit kernels (shape.rs:53-89, 161-198);
@@ -516,12 +534,16 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # triangle table (HBM, DMA'd per tile)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere cluster AABBs
             pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle cluster AABBs
         ],
         out_specs=pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((prim_tile, 9), o.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
     )(o_t, d_t, tmin_r, tmax_r, c_p, r2_p, tri, sph_aabb, tri_aabb)
     return occ[0, :n] != 0
