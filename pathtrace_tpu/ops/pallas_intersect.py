@@ -284,7 +284,7 @@ def _triangle_kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, aabb_ref,
             # VMEM would be lane-padded 13 -> 128 (~14x waste, OOM at 70k tris);
             # the AABB cull above also skips the fetch entirely.
             cp = pltpu.make_async_copy(
-                tri_ref.at[pl.ds(s * prim_tile, prim_tile), :], tri_tile_ref, dma_sem
+                tri_ref.at[pl.ds(s * prim_tile, prim_tile)], tri_tile_ref, dma_sem
             )
             cp.start()
             cp.wait()
@@ -360,11 +360,13 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
     d_t = _pad_rows(d, n_pad, fill=1.0).T
     tmin_r = _pad_rows(jnp.broadcast_to(t_min, (n,))[:, None], n_pad).T
     tmax_r = _pad_rows(jnp.broadcast_to(t_max, (n,))[:, None], n_pad).T
-    # Packed triangle table (T, 13): v0 | e1 | e2 | normal | mat. Zero padding
-    # rows give a == 0 → parallel reject.
+    # Packed triangle table (T, 128): v0 | e1 | e2 | normal | mat | lane pad.
+    # Rows zero-padded (a == 0 → parallel reject); lanes padded to the native
+    # 128-wide tiling so per-cluster DMA slices only the leading dim.
     tri = _pad_rows(
         jnp.concatenate(
-            [v0, e1, e2, tri_normal, tri_mat.astype(o.dtype)[:, None]], axis=1
+            [v0, e1, e2, tri_normal, tri_mat.astype(o.dtype)[:, None],
+             jnp.zeros((v0.shape[0], 115), o.dtype)], axis=1
         ),
         t_rows,
     )
@@ -379,7 +381,7 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
             pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # triangle table (HBM, DMA'd per tile)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # triangle table, DMA'd per tile
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster AABBs
         ],
         out_specs=[
@@ -397,7 +399,7 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
         scratch_shapes=[
             pltpu.VMEM((1, ray_tile), o.dtype),
             pltpu.VMEM((1, ray_tile), jnp.int32),
-            pltpu.VMEM((prim_tile, 13), o.dtype),
+            pltpu.VMEM((prim_tile, 128), o.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -457,7 +459,7 @@ def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, tri_ref,
             # Triangle table lives in HBM (lane-padding a (T,9) table in VMEM
             # wastes ~14x); the cull above also skips the fetch.
             cp = pltpu.make_async_copy(
-                tri_ref.at[pl.ds(s * prim_tile, prim_tile), :], tri_tile_ref, dma_sem
+                tri_ref.at[pl.ds(s * prim_tile, prim_tile)], tri_tile_ref, dma_sem
             )
             cp.start()
             cp.wait()
@@ -514,7 +516,10 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
     tmax_r = _pad_rows(jnp.broadcast_to(t_max, (n,))[:, None], n_pad).T
     c_p = _pad_rows(centers, s_pad, fill=1e9)
     r2_p = _pad_rows((radius * radius)[:, None] * jnp.sign(radius)[:, None], s_pad)
-    tri = _pad_rows(jnp.concatenate([v0, e1, e2], axis=1), t_rows)
+    tri = _pad_rows(
+        jnp.concatenate([v0, e1, e2, jnp.zeros((v0.shape[0], 119), o.dtype)], axis=1),
+        t_rows,
+    )
     sph_aabb = _pack_aabbs(*(sph_cluster or (None, None)), s_pad // prim_tile, o.dtype)
     tri_aabb = _pack_aabbs(*(tri_cluster or (None, None)), t_rows // prim_tile, o.dtype)
 
@@ -534,14 +539,14 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # triangle table (HBM, DMA'd per tile)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # triangle table, DMA'd per tile
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere cluster AABBs
             pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle cluster AABBs
         ],
         out_specs=pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((prim_tile, 9), o.dtype),
+            pltpu.VMEM((prim_tile, 128), o.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
