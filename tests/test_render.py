@@ -117,3 +117,19 @@ def test_profiled_render_stats():
     assert stats.traced_rays > 32 * 32 * 2
     assert stats.mrays_per_s > 0
     assert "traced_rays" in stats.to_json()
+
+
+def test_metrics_rmse_harness(tmp_path):
+    import os
+    from pathtrace_tpu import io as ptio
+    from pathtrace_tpu.metrics import rmse_vs_reference_csv, rmse
+
+    sc = scenes.cornell_box()
+    cam = scenes.cornell_camera(**SMALL)
+    st = render(sc, cam, RenderConfig(**SMALL, spp=2, seed=6))
+    img = np.asarray(st.image)
+    p = os.path.join(tmp_path, "ref.csv")
+    ptio.export_luminance_csv(img, p)
+    rep = rmse_vs_reference_csv(img, p)
+    assert rep["rmse"] < 1e-5  # self-comparison through the CSV round-trip
+    assert rmse(img, img) == 0.0
