@@ -216,6 +216,39 @@ def default_method() -> str:
     return "pallas" if jax.default_backend() != "cpu" else "bruteforce"
 
 
+# Sort rays before tracing once the triangle soup is at least this large:
+# the per-tile cluster culling in the Pallas kernels only skips work when the
+# 512 rays of a tile are spatially coherent, which bounce waves are not.
+RAY_SORT_MIN_TRIS = 4096
+
+
+def _ray_sort_order(scene: Scene, o, d):
+    """Spatial+directional bin key: 3-bit direction octant above a morton code
+    of the origin within the scene bounds. Sorting a wave by this key makes
+    kernel ray-tiles coherent so cluster AABB culling fires on bounce rays."""
+    lo = jnp.minimum(
+        jnp.min(scene.tri_cluster_min, axis=0), jnp.min(scene.sph_cluster_min, axis=0)
+    )
+    hi = jnp.maximum(
+        jnp.max(scene.tri_cluster_max, axis=0), jnp.max(scene.sph_cluster_max, axis=0)
+    )
+    span = jnp.maximum(hi - lo, 1e-6)
+    p = jnp.clip((o - lo) / span, 0.0, 1.0)
+
+    # Block order (x-major 7-bit grid) rather than a true morton interleave —
+    # the key only needs to group nearby rays into the same 512-ray tile.
+    mx = (p[:, 0] * 127).astype(jnp.uint32)
+    my = (p[:, 1] * 127).astype(jnp.uint32)
+    mz = (p[:, 2] * 127).astype(jnp.uint32)
+    morton = (mx << 14) | (my << 7) | mz  # block order (x-major) — coherent enough
+    octant = (
+        (d[:, 0] >= 0).astype(jnp.uint32) * 4
+        + (d[:, 1] >= 0).astype(jnp.uint32) * 2
+        + (d[:, 2] >= 0).astype(jnp.uint32)
+    )
+    return jnp.argsort((octant << 21) | morton)
+
+
 def intersect(
     scene: Scene,
     o: jnp.ndarray,
@@ -224,6 +257,7 @@ def intersect(
     t_max,
     tile: int | None = None,
     method: str = "auto",
+    sort_rays: bool | None = None,
 ) -> Hit:
     """Closest hit for a wave of rays.
 
@@ -254,6 +288,15 @@ def intersect(
         from ..models.scene import SPH_CLUSTER_SIZE
 
         interp = method == "pallas_interpret"
+        if sort_rays is None:
+            sort_rays = t_rows_real >= RAY_SORT_MIN_TRIS
+        order = None
+        if sort_rays:
+            order = _ray_sort_order(scene, o, d)
+            o = o[order]
+            d = d[order]
+            t_min_b = t_min_b[order]
+            t_max_b = t_max_b[order]
         # Tiny primitive tables get a right-sized tile instead of paying for a
         # full 256-row cluster of padding (measured ~1.5 ms/call of pure
         # padding work for a 2-triangle scene at production wave sizes).
@@ -288,6 +331,12 @@ def intersect(
         mat = jnp.where(valid, mat, 0)
         front_face = vec.dot(d, outward) < 0.0
         normal = jnp.where(front_face[:, None], outward, -outward)
+        if order is not None:
+            # Scatter results back to the caller's ray order.
+            inv = jnp.zeros_like(order).at[order].set(jnp.arange(n, dtype=order.dtype))
+            t, prim, point = t[inv], prim[inv], point[inv]
+            normal, front_face, mat = normal[inv], front_face[inv], mat[inv]
+            valid = prim >= 0
         return Hit(
             t=jnp.where(valid, t, _INF),
             prim=prim,
@@ -368,6 +417,11 @@ def occluded(
         from ..models.scene import SPH_CLUSTER_SIZE
         tri_small = t_rows_real <= 64
         sph_small = s_rows <= 16
+        order = None
+        if t_rows_real >= RAY_SORT_MIN_TRIS:
+            order = _ray_sort_order(scene, o, d)
+            o, d = o[order], d[order]
+            t_min_b, t_max_b = t_min_b[order], t_max_b[order]
         # any_hit shares one prim_tile for both classes; pick the smaller
         # aligned tile that still matches each class's cluster stride.
         if tri_small and sph_small:
@@ -384,7 +438,7 @@ def occluded(
                 (scene.sph_cluster_min, scene.sph_cluster_max)
                 if (not sph_small and prim_tile == SPH_CLUSTER_SIZE) else None
             )
-        return pk.any_hit(
+        occ = pk.any_hit(
             o, d, t_min_b, t_max_b,
             scene.sph_center, scene.sph_radius,
             scene.tri_v0, scene.tri_e1, scene.tri_e2,
@@ -393,4 +447,7 @@ def occluded(
             prim_tile=prim_tile,
             interpret=method == "pallas_interpret",
         )
+        if order is not None:
+            occ = jnp.zeros_like(occ).at[order].set(occ)
+        return occ
     return intersect(scene, o, d, t_min, t_max, tile=tile, method=method).valid

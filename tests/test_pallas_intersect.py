@@ -68,3 +68,19 @@ def test_anyhit_matches_closesthit_validity():
     a = occluded(sc, o, d, 1e-3, t_max, method="bruteforce")
     b = occluded(sc, o, d, 1e-3, t_max, method="pallas_interpret")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ray_sorting_preserves_results():
+    """Ray binning (sorted tracing for big meshes) is a pure permutation —
+    results must be identical to unsorted tracing."""
+    from pathtrace_tpu.models.scenes import mesh_scene
+    from pathtrace_tpu.ops.intersect import intersect, occluded
+
+    sc = mesh_scene(1000)  # small mesh; force sorting explicitly
+    o, d = random_rays(600, seed=3, spread=3.0, center=(0, 1, 0))
+    a = intersect(sc, o, d, 1e-3, jnp.inf, method="pallas_interpret", sort_rays=False)
+    b = intersect(sc, o, d, 1e-3, jnp.inf, method="pallas_interpret", sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(a.prim), np.asarray(b.prim))
+    np.testing.assert_allclose(np.asarray(a.t)[np.asarray(a.valid)],
+                               np.asarray(b.t)[np.asarray(b.valid)], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.mat), np.asarray(b.mat))
