@@ -83,6 +83,10 @@ def cmd_render(args) -> int:
             state = RenderState(image_sum.reshape(args.height, args.width, 3), done)
             if args.checkpoint:
                 state.save(args.checkpoint)
+            if args.out and args.progressive:
+                # Progressive preview: the wavefront-era replacement for the
+                # reference's live window (main.rs:79-90).
+                ptio.write_png(to_srgb_u8(jnp.asarray(state.image)), args.out)
             print(f"{done}/{args.spp} spp ({time.time() - t0:.1f}s)", file=sys.stderr)
     else:
         def progress(dn):

@@ -56,6 +56,15 @@ class OrenNayar:
     roughness: float
 
 
+# Note on reference coverage: the reference also contains a `PBRMaterial`
+# (Fresnel-blended Mirror + OrenNayar uber-material, material.rs:298-389) that
+# is dead code upstream — private fields, no constructor, never exported or
+# instantiated (SURVEY.md §2). It is intentionally not replicated; its
+# constituents (Mirror, OrenNayar) are both first-class lanes here, and a
+# layered uber-material would be a straightforward blend of the two
+# lanes' samples/pdfs if ever needed.
+
+
 Material = Lambertian | Emissive | Mirror | OrenNayar
 
 
