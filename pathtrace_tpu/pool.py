@@ -29,6 +29,7 @@ the same sample indices produce the same paths as the plain renderer.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -48,6 +49,7 @@ from .utils import vec
 class _PoolState(NamedTuple):
     # Per-slot path state
     pixel: jnp.ndarray      # (S,) int32 assigned pixel id (undefined if !busy)
+    chunk: jnp.ndarray      # (S,) int32 work-item chunk index (framebuffer row)
     sample: jnp.ndarray     # (S,) int32 assigned sample index
     bounce: jnp.ndarray     # (S,) int32 current path depth
     ray_o: jnp.ndarray      # (S, 3)
@@ -111,6 +113,16 @@ def render_pool(
     S = min(num_slots, num_pixels)
     chunks = -(-num_pixels // S)          # pixels per slot stream
     work_per_slot = chunks * spp          # work item j -> (chunk j%chunks, sample j//chunks)
+    padded_pixels = chunks * S
+    # Pixel <-> (chunk, slot) bijection: a coprime multiplicative stride that
+    # scatters each slot's stream across the whole image. Without it, slots
+    # own contiguous pixel columns and columns full of long paths (glass)
+    # keep a few slots busy for hundreds of drain iterations while the rest
+    # idle (~37% measured occupancy); mixing path lengths per slot evens the
+    # streams out. The inverse permutation is applied once at the end.
+    perm = 2654435761 % padded_pixels
+    while math.gcd(perm, padded_pixels) != 1:
+        perm += 1
     dtype = camera.origin.dtype
     base = rng_ops.base_key(seed)
 
@@ -119,6 +131,7 @@ def render_pool(
     chunk_iota = jnp.arange(chunks, dtype=jnp.int32)
     state = _PoolState(
         pixel=jnp.zeros((S,), jnp.int32),
+        chunk=jnp.zeros((S,), jnp.int32),
         sample=jnp.zeros((S,), jnp.int32),
         bounce=jnp.zeros((S,), jnp.int32),
         ray_o=zero3,
@@ -142,7 +155,8 @@ def render_pool(
         # ---- Refill: each free slot pulls the next item of its own stream ----
         free = ~s.busy
         refill = free & (s.cursor < work_per_slot)
-        new_pixel = (s.cursor % chunks) * S + slot_ids
+        w_item = (s.cursor % chunks) * S + slot_ids
+        new_pixel = (w_item * perm) % padded_pixels
         # Global sample index: progressive passes continue the same
         # counter-RNG streams (sample_offset = samples already rendered).
         new_sample = s.cursor // chunks + sample_offset
@@ -153,6 +167,7 @@ def render_pool(
 
         started = refill & pixel_ok
         pixel = jnp.where(started, jnp.minimum(new_pixel, num_pixels - 1), s.pixel)
+        chunk = jnp.where(started, s.cursor % chunks, s.chunk)
         sample = jnp.where(started, new_sample, s.sample)
         keys = rng_ops.pixel_sample_keys(base, pixel, sample)
 
@@ -247,7 +262,7 @@ def render_pool(
         # ---- Path termination & flush (dense slot-strided add, no scatter) ----
         done = busy & ~live
         flush = jnp.where(done[:, None], radiance, 0.0)           # (S, 3)
-        slot_chunk = pixel // S                                   # (S,)
+        slot_chunk = chunk                                        # (S,)
         onehot = (chunk_iota[:, None] == slot_chunk[None, :]).astype(dtype)
         image = s.image + onehot[:, :, None] * flush[None, :, :]  # (chunks, S, 3)
 
@@ -255,6 +270,7 @@ def render_pool(
         l2 = live[:, None]
         return _PoolState(
             pixel=pixel,
+            chunk=chunk,
             sample=sample,
             bounce=jnp.where(live, bounce + 1, bounce),
             ray_o=jnp.where(l2, hit.point, ray_o),
@@ -274,6 +290,10 @@ def render_pool(
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    # Pixel p = chunk*S + slot lives at image[chunk, slot] → flat row p.
-    image_sum = final.image.reshape(chunks * S, 3)[:num_pixels]
+    # Work item w = chunk*S + slot accumulated at image[chunk, slot]; its
+    # pixel is (w*perm) % padded. One inverse scatter restores image order.
+    flat = final.image.reshape(padded_pixels, 3)
+    w_ids = jnp.arange(padded_pixels, dtype=jnp.uint32)
+    dest = ((w_ids * jnp.uint32(perm)) % jnp.uint32(padded_pixels)).astype(jnp.int32)
+    image_sum = jnp.zeros_like(flat).at[dest].set(flat)[:num_pixels]
     return image_sum, final.rays, final.iters
