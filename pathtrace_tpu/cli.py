@@ -191,7 +191,7 @@ def main(argv=None) -> int:
     common(r)
     r.add_argument("--engine", choices=["wave", "pool"], default="pool")
     r.add_argument("--samples-per-batch", type=int, default=4)
-    r.add_argument("--pool-slots", type=int, default=262144)
+    r.add_argument("--pool-slots", type=int, default=32768)
     r.add_argument("--progressive", type=int, default=0,
                    help="checkpoint every N spp (pool engine)")
     r.add_argument("--checkpoint", default=None)

@@ -92,7 +92,7 @@ def render_pool(
     spp: int,
     integrator: str = "mis",
     max_bounces: int = 64,
-    num_slots: int = 262144,
+    num_slots: int = 32768,
     seed: int = 0,
     sample_offset: int = 0,
 ):
@@ -101,11 +101,18 @@ def render_pool(
     Returns ``(image_sum (H*W, 3), traced_rays, iterations)``; divide by spp
     for mean radiance.
 
-    Work assignment is slot-strided: slot ``s`` owns exactly the pixels
-    ``s, s+S, s+2S, …`` (all their samples). This makes the framebuffer a
-    dense ``(chunks, S, 3)`` array that dying slots flush with a one-hot
-    masked add over the tiny ``chunks`` axis — TPU scatter-adds into a
-    megapixel framebuffer measured ~10 ms/iteration; the dense flush is ~0.1.
+    Work assignment is slot-strided: slot ``s`` owns exactly the work items
+    ``w ≡ s (mod S)``, whose pixels are a coprime-stride permutation of the
+    image (see below). The framebuffer is therefore a dense ``(chunks, S, 3)``
+    array that dying slots flush with a one-hot masked add over the tiny
+    ``chunks`` axis — TPU scatter-adds into a megapixel framebuffer measured
+    ~10 ms/iteration; the dense flush is ~0.1 — and one inverse scatter at the
+    end restores pixel order.
+
+    ``num_slots`` trades per-iteration efficiency against drain-tail
+    occupancy: smaller pools give each slot a longer work stream, which
+    amortizes the heavy tail of path lengths (glass TIR chains run to depth
+    30+). Measured on v5e at 1080p: 16k slots ≈ 2x the throughput of 256k.
     """
     use_mis = integrator == "mis"
     use_nee = integrator in ("mis", "nee")
@@ -115,14 +122,16 @@ def render_pool(
     work_per_slot = chunks * spp          # work item j -> (chunk j%chunks, sample j//chunks)
     padded_pixels = chunks * S
     # Pixel <-> (chunk, slot) bijection: a coprime multiplicative stride that
-    # scatters each slot's stream across the whole image. Without it, slots
-    # own contiguous pixel columns and columns full of long paths (glass)
-    # keep a few slots busy for hundreds of drain iterations while the rest
-    # idle (~37% measured occupancy); mixing path lengths per slot evens the
-    # streams out. The inverse permutation is applied once at the end.
-    perm = 2654435761 % padded_pixels
+    # scatters each slot's stream across the whole image, mixing short (sky)
+    # and long (glass) paths into every slot's stream so the pool drains
+    # evenly. The inverse permutation is applied once at the end.
+    # The stride is capped so w*perm fits in uint32 exactly (w < padded);
+    # otherwise the modular map silently stops being a bijection for
+    # non-power-of-two paddings (overflow wraps at 2^32, not at padded).
+    bound = max((2**32 - 1) // max(padded_pixels, 1), 1)
+    perm = max(1, min(bound, int(0.6180339887 * padded_pixels)))
     while math.gcd(perm, padded_pixels) != 1:
-        perm += 1
+        perm -= 1
     dtype = camera.origin.dtype
     base = rng_ops.base_key(seed)
 
@@ -156,7 +165,9 @@ def render_pool(
         free = ~s.busy
         refill = free & (s.cursor < work_per_slot)
         w_item = (s.cursor % chunks) * S + slot_ids
-        new_pixel = (w_item * perm) % padded_pixels
+        new_pixel = (
+            (w_item.astype(jnp.uint32) * jnp.uint32(perm)) % jnp.uint32(padded_pixels)
+        ).astype(jnp.int32)
         # Global sample index: progressive passes continue the same
         # counter-RNG streams (sample_offset = samples already rendered).
         new_sample = s.cursor // chunks + sample_offset

@@ -47,7 +47,7 @@ def profiled_render(
     spp: int,
     integrator: str = "mis",
     max_bounces: int = 64,
-    num_slots: int = 262144,
+    num_slots: int = 32768,
     seed: int = 0,
     sample_offset: int = 0,
     state: Optional[RenderState] = None,
