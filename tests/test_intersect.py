@@ -102,3 +102,17 @@ def test_cornell_scene_structure():
         assert p < sc.num_tris
         assert int(sc.mat_kind[int(sc.tri_mat[p])]) == KIND_EMISSIVE
         assert abs(float(sc.tri_v0[p][1]) - 0.99) < 1e-6
+
+
+def test_mxu_method_matches_bruteforce():
+    """The experimental matmul (MXU) formulation must agree with the VPU path."""
+    sc = scenes.many_spheres(n_per_side=4)
+    key = jax.random.key(5)
+    o = jax.random.uniform(key, (256, 3), minval=-5, maxval=5) + jnp.asarray([0, 2, 0.0])
+    d = jax.random.normal(jax.random.key(6), (256, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    hb = intersect(sc, o, d, 1e-3, jnp.inf, method="bruteforce")
+    hm = intersect(sc, o, d, 1e-3, jnp.inf, method="mxu")
+    np.testing.assert_array_equal(np.asarray(hb.prim), np.asarray(hm.prim))
+    m = np.asarray(hb.valid)
+    np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(hm.t)[m], rtol=1e-4)

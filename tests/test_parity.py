@@ -112,3 +112,28 @@ def test_parity_glass_mis():
         jax_spp=192, oracle_spp=768,
         mean_tol=0.02, rmse_tol=0.5,  # glass fireflies dominate per-pixel RMSE
     )
+
+
+def test_parity_oren_nayar():
+    """Oren–Nayar lane vs the oracle: rough-diffuse Cornell walls."""
+    from pathtrace_tpu.models.materials import OrenNayar
+
+    b = SceneBuilder()
+    s, d, ls = 1.0, -2.0, 0.3
+    rough = OrenNayar((0.7, 0.4, 0.3), 0.5)
+    grey = OrenNayar((0.6, 0.6, 0.6), 0.8)
+    light = Emissive((15.0, 15.0, 15.0))
+    b.add_triangle((-s, -s, d - s), (-s, s, d - s), (-s, s, d + s), rough)
+    b.add_triangle((-s, -s, d - s), (-s, s, d + s), (-s, -s, d + s), rough)
+    b.add_triangle((s, -s, d - s), (s, s, d + s), (s, s, d - s), rough)
+    b.add_triangle((s, -s, d - s), (s, -s, d + s), (s, s, d + s), rough)
+    b.add_triangle((-s, -s, d - s), (s, -s, d - s), (s, s, d - s), grey)
+    b.add_triangle((-s, -s, d - s), (s, s, d - s), (-s, s, d - s), grey)
+    b.add_triangle((-s, -s, d - s), (s, -s, d + s), (s, -s, d - s), grey)
+    b.add_triangle((-s, -s, d - s), (-s, -s, d + s), (s, -s, d + s), grey)
+    b.add_triangle((-s, s, d - s), (s, s, d - s), (s, s, d + s), grey)
+    b.add_triangle((-s, s, d - s), (s, s, d + s), (-s, s, d + s), grey)
+    b.add_triangle((-ls, s - 0.01, d - ls), (ls, s - 0.01, d - ls), (ls, s - 0.01, d + ls), light)
+    b.add_triangle((-ls, s - 0.01, d - ls), (ls, s - 0.01, d + ls), (-ls, s - 0.01, d + ls), light)
+    b.add_sphere((0.4, -0.6, d), 0.4, OrenNayar((0.5, 0.5, 0.7), 0.3))
+    _compare(b.build(), "mis", jax_spp=128, oracle_spp=512, mean_tol=0.015, rmse_tol=0.2)
