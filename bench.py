@@ -36,7 +36,7 @@ def main():
     on_tpu = platform not in ("cpu",)
 
     if on_tpu and not os.environ.get("PT_BENCH_SMALL"):
-        width, height, spp, slots = 1920, 1080, 8, 16384
+        width, height, spp, slots = 1920, 1080, 16, 16384
     else:  # CI / CPU fallback: same code path, smaller load
         width, height, spp, slots = 256, 256, 2, 16384
 
