@@ -445,6 +445,9 @@ def occluded(
             sph_cluster=sph_cluster,
             tri_cluster=tri_cluster,
             prim_tile=prim_tile,
+            # 512-lane tiles only blow the VMEM budget when a big triangle
+            # table's scratch shares the kernel; small scenes get full tiles.
+            ray_tile=512 if t_rows_real <= 8192 else 256,
             interpret=method == "pallas_interpret",
         )
         if order is not None:
