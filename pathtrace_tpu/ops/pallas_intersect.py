@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_TILE = 512      # rays per grid step (lane axis, multiple of 128)
+RAY_TILE = 1024      # rays per grid step (lane axis, multiple of 128)
 PRIM_TILE = 256     # primitives per inner iteration (sublane axis, multiple of 8)
 _INF = float("inf")  # plain python float: jnp constants can't be captured by kernels
 
