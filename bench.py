@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
+# The TPU tunnel plugin in this environment ignores the JAX_PLATFORMS env
+# var; honor it explicitly so a CPU run can be forced.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from pathtrace_tpu.models import scenes  # noqa: E402
 from pathtrace_tpu.pool import render_pool  # noqa: E402
@@ -38,7 +42,7 @@ def main():
     if on_tpu and not os.environ.get("PT_BENCH_SMALL"):
         width, height, spp, slots = 1920, 1080, 16, 16384
     else:  # CI / CPU fallback: same code path, smaller load
-        width, height, spp, slots = 256, 256, 2, 16384
+        width, height, spp, slots = 128, 128, 1, 4096
 
     scene = scenes.many_spheres()
     camera = scenes.many_spheres_camera(width, height)
