@@ -30,7 +30,7 @@ if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from pathtrace_tpu.models import scenes  # noqa: E402
-from pathtrace_tpu.pool import render_pool  # noqa: E402
+from pathtrace_tpu.pool import ray_count, render_pool  # noqa: E402
 
 TARGET_MRAYS = 500.0
 
@@ -72,7 +72,7 @@ def main():
     total = float(jnp.sum(img))  # forces completion + host transfer
     dt = time.perf_counter() - t0
 
-    nrays = int(rays)
+    nrays = ray_count(rays)
     mrays = nrays / dt / 1e6
     result = {
         "metric": "Mrays/sec/chip (many-sphere %dx%d @%dspp MIS)" % (width, height, spp),

@@ -12,8 +12,11 @@ device mesh:
   merge.
 
 Because the RNG is counter-based on global ``(pixel, sample)`` coordinates, the
-sharded render is bit-identical to the single-device render for any mesh shape
-— determinism is the distributed correctness check (SURVEY §5 race detection).
+sharded render traces exactly the same sample set as the single-device render
+for any mesh shape; the images agree up to float accumulation order (the psum
+reassociates the per-sample-group partial sums), which tests bound at
+rtol 1e-3 (tests/test_sharding.py). Determinism of the sample set is the
+distributed correctness check (SURVEY §5 race detection).
 """
 
 from __future__ import annotations
@@ -149,17 +152,107 @@ def render_sharded(
     return RenderState(image_sum, config.spp)
 
 
+def stack_cameras(cameras) -> Camera:
+    """Stack same-resolution cameras into one pytree with a leading frame
+    axis (the unit :func:`frames_sharded` shards over ``dp``)."""
+    w, h = cameras[0].width, cameras[0].height
+    if any(c.width != w or c.height != h for c in cameras):
+        raise ValueError("all cameras in a frame batch must share a resolution")
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "width", "height", "spp", "integrator", "max_bounces", "seed",
+    ),
+)
+def _frames_sharded_sum(
+    scene: Scene,
+    cams: Camera,
+    *,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    spp: int,
+    integrator: str,
+    max_bounces: int,
+    seed: int,
+):
+    """Radiance sums for a stacked camera batch: frames shard over ``dp``
+    (each device scans its local frames, one full pixel wave per step, in a
+    single dispatch), sample groups shard over ``sp`` and merge with psum."""
+    sp = mesh.shape["sp"]
+    if spp % sp:
+        raise ValueError(f"spp={spp} must divide by sample-axis size {sp}")
+    key = jax.random.key(seed)
+    ids = pixel_grid(width, height)
+    sample_starts = jnp.arange(sp, dtype=jnp.int32) * (spp // sp)
+
+    scene_spec = jax.tree.map(lambda _: P(), scene)
+    cam_spec = jax.tree.map(lambda _: P("dp"), cams)
+
+    def local(scene, cams_local, ids_local, start_local):
+        # Pixel ids are replicated (frames, not pixels, are the dp axis here);
+        # mark them varying over both axes so render_batch's loop carry —
+        # derived from them — matches its body's varying type (which picks up
+        # dp from the camera and sp from the sample start).
+        ids_local = jax.lax.pcast(ids_local, ("dp", "sp"), to="varying")
+        start_local = jax.lax.pcast(start_local, ("dp",), to="varying")
+
+        def one_frame(carry, cam):
+            acc = render_batch(
+                scene,
+                cam,
+                ids_local,
+                start_local[0],
+                key,
+                width=width,
+                height=height,
+                integrator=integrator,
+                max_bounces=max_bounces,
+                samples_per_batch=spp // sp,
+            )
+            return carry, jax.lax.psum(acc, "sp")
+
+        _, accs = jax.lax.scan(one_frame, 0, cams_local)
+        return accs  # (F_local, H*W, 3)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(scene_spec, cam_spec, P(), P("sp")),
+        out_specs=P("dp"),
+    )(scene, cams, ids, sample_starts)
+
+
 def frames_sharded(
     scene: Scene,
     cameras,
     config,
     mesh: Optional[Mesh] = None,
-):
-    """Batched-animation data parallelism (BASELINE config 5): one frame's
-    pixel wave per ``dp`` group, cameras differing per frame. Returns
-    ``(F, H, W, 3)`` mean radiance."""
+) -> jnp.ndarray:
+    """Batched-animation data parallelism (BASELINE config 5): the frame axis
+    shards over ``dp`` — one shard_map dispatch renders every frame, each
+    device scanning its own frames with per-frame cameras — while ``sp``
+    groups split the sample range and psum. Returns ``(F, H, W, 3)`` mean
+    radiance in input frame order."""
     mesh = mesh or make_mesh()
-    images = []
-    for cam in cameras:  # frames stream through the mesh; each is internally DP
-        images.append(render_sharded(scene, cam, config, mesh).image)
-    return jnp.stack(images)
+    dp = mesh.shape["dp"]
+    cameras = list(cameras)
+    n_frames = len(cameras)
+    pad = (-n_frames) % dp
+    cams = stack_cameras(cameras + [cameras[-1]] * pad)
+    w, h = config.width, config.height
+    acc = _frames_sharded_sum(
+        scene,
+        cams,
+        mesh=mesh,
+        width=w,
+        height=h,
+        spp=config.spp,
+        integrator=config.integrator,
+        max_bounces=config.max_bounces,
+        seed=config.seed,
+    )
+    return acc[:n_frames].reshape(n_frames, h, w, 3) / config.spp

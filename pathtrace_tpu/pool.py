@@ -64,7 +64,11 @@ class _PoolState(NamedTuple):
     cursor: jnp.ndarray     # (S,) int32: next work item index for this slot
     image: jnp.ndarray      # (chunks, S, 3) slot-strided framebuffer
     iters: jnp.ndarray      # scalar int32 diagnostics
-    rays: jnp.ndarray       # scalar int32: traced-ray counter
+    # Traced-ray counter as an exact (hi, lo) uint32 pair: a config-3-scale
+    # render (1024^2 x 256 spp x ~4 queries/path) crosses 2^31 and would wrap
+    # an int32; JAX's default no-x64 mode rules out a plain int64 scalar.
+    rays_lo: jnp.ndarray    # scalar uint32
+    rays_hi: jnp.ndarray    # scalar uint32
 
 
 def _per_slot_uniforms(keys, bounces, dtype):
@@ -99,7 +103,8 @@ def render_pool(
     """Render the full frame with a saturated path pool.
 
     Returns ``(image_sum (H*W, 3), traced_rays, iterations)``; divide by spp
-    for mean radiance.
+    for mean radiance. ``traced_rays`` is a ``(2,)`` uint32 ``(hi, lo)`` pair
+    — decode with :func:`ray_count` — so the count stays exact past 2^32.
 
     Work assignment is slot-strided: slot ``s`` owns exactly the work items
     ``w ≡ s (mod S)``, whose pixels are a coprime-stride permutation of the
@@ -154,7 +159,8 @@ def render_pool(
         cursor=jnp.zeros((S,), jnp.int32),
         image=jnp.zeros((chunks, S, 3), dtype),
         iters=jnp.int32(0),
-        rays=jnp.int32(0),
+        rays_lo=jnp.uint32(0),
+        rays_hi=jnp.uint32(0),
     )
 
     def cond(s: _PoolState):
@@ -278,6 +284,10 @@ def render_pool(
         image = s.image + onehot[:, :, None] * flush[None, :, :]  # (chunks, S, 3)
 
         # ---- Continue surviving paths ----
+        rays_inc = jnp.sum(busy.astype(jnp.uint32)) + (
+            jnp.sum(shade.astype(jnp.uint32)) if use_nee else jnp.uint32(0)
+        )
+        rays_lo = s.rays_lo + rays_inc  # uint32 wrap detected via carry below
         l2 = live[:, None]
         return _PoolState(
             pixel=pixel,
@@ -295,9 +305,8 @@ def render_pool(
             cursor=cursor,
             image=image,
             iters=s.iters + 1,
-            rays=s.rays
-            + jnp.sum(busy.astype(jnp.int32))
-            + (jnp.sum(shade.astype(jnp.int32)) if use_nee else 0),
+            rays_lo=rays_lo,
+            rays_hi=s.rays_hi + (rays_lo < s.rays_lo).astype(jnp.uint32),
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -307,4 +316,16 @@ def render_pool(
     w_ids = jnp.arange(padded_pixels, dtype=jnp.uint32)
     dest = ((w_ids * jnp.uint32(perm)) % jnp.uint32(padded_pixels)).astype(jnp.int32)
     image_sum = jnp.zeros_like(flat).at[dest].set(flat)[:num_pixels]
-    return image_sum, final.rays, final.iters
+    return image_sum, jnp.stack([final.rays_hi, final.rays_lo]), final.iters
+
+
+def ray_count(rays) -> int:
+    """Exact traced-ray count from render_pool's ``(hi, lo)`` uint32 pair.
+
+    Accepts a plain scalar too (older checkpointed stats)."""
+    import numpy as np
+
+    r = np.asarray(rays)
+    if r.ndim == 0:
+        return int(r)
+    return (int(r[0]) << 32) | int(r[1])

@@ -17,7 +17,7 @@ import jax
 
 from .models.camera import Camera
 from .models.scene import Scene
-from .pool import render_pool
+from .pool import ray_count, render_pool
 from .render import RenderState
 
 
@@ -85,10 +85,10 @@ def profiled_render(
         height=height,
         spp=spp,
         integrator=integrator,
-        traced_rays=int(rays),
+        traced_rays=ray_count(rays),
         pool_iterations=int(iters),
         wall_s=round(wall, 4),
-        mrays_per_s=round(int(rays) / wall / 1e6, 3),
+        mrays_per_s=round(ray_count(rays) / wall / 1e6, 3),
         spp_per_s=round(spp / wall, 4),
         platform=jax.devices()[0].platform,
     )

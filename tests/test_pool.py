@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from pathtrace_tpu.models import scenes
-from pathtrace_tpu.pool import render_pool
+from pathtrace_tpu.pool import ray_count, render_pool
 from pathtrace_tpu.render import RenderConfig, render
 
 W = H = 16
@@ -32,7 +32,7 @@ def test_pool_matches_wavefront(integrator):
         np.asarray(ref.image_sum),
         rtol=2e-3, atol=2e-2,
     )
-    assert int(rays) > W * H * SPP  # at least the primaries, plus bounces
+    assert ray_count(rays) > W * H * SPP  # at least the primaries, plus bounces
     assert int(iters) > 0
 
 

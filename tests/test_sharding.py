@@ -48,12 +48,22 @@ def test_sharded_nonuniform_pixel_count(scene, camera):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
 
 
-def test_frames_batched(scene):
+def test_frames_batched_matches_per_frame_render(scene):
+    """One shard_map dispatch over the frame axis must reproduce each frame's
+    single-device render, with per-frame cameras and a frame count that does
+    not divide the dp axis (3 frames on dp=4 forces padding)."""
+    import dataclasses
+
+    base = scenes.cornell_camera(W, H)
     cams = [
-        scenes.cornell_camera(W, H),
-        scenes.cornell_camera(W, H),
+        dataclasses.replace(base, origin=base.origin + jnp.asarray([0.02 * i, 0.0, 0.0]))
+        for i in range(3)
     ]
     cfg = RenderConfig(width=W, height=H, spp=2, seed=0, samples_per_batch=2)
     imgs = frames_sharded(scene, cams, cfg, make_mesh(dp=4, sp=2))
-    assert imgs.shape == (2, H, W, 3)
-    np.testing.assert_allclose(np.asarray(imgs[0]), np.asarray(imgs[1]), atol=1e-6)
+    assert imgs.shape == (3, H, W, 3)
+    for i, cam in enumerate(cams):
+        ref = np.asarray(render(scene, cam, cfg).image)
+        np.testing.assert_allclose(np.asarray(imgs[i]), ref, rtol=1e-3, atol=5e-3)
+    # Distinct cameras must produce distinct frames.
+    assert np.abs(np.asarray(imgs[0]) - np.asarray(imgs[2])).max() > 1e-4
