@@ -302,22 +302,36 @@ def intersect(
         # padding work for a 2-triangle scene at production wave sizes).
         tri_small = t_rows_real <= 64
         sph_small = s_rows <= 16
-        tri_t, tri_p, tri_n, tri_m = pk.triangle_closest(
-            o, d, t_min_b, t_max_b, scene.tri_v0, scene.tri_e1, scene.tri_e2,
-            scene.tri_normal, scene.tri_mat,
-            cluster_min=None if tri_small else scene.tri_cluster_min,
-            cluster_max=None if tri_small else scene.tri_cluster_max,
-            prim_tile=_round_tile(t_rows_real, 8) if tri_small else 256,
-            interpret=interp,
-        )
-        sph_t, sph_p, sph_n, sph_m = pk.sphere_closest(
-            o, d, t_min_b, t_max_b, scene.sph_center, scene.sph_radius,
-            scene.sph_mat,
-            cluster_min=None if sph_small else scene.sph_cluster_min,
-            cluster_max=None if sph_small else scene.sph_cluster_max,
-            prim_tile=_round_tile(s_rows, 8) if sph_small else SPH_CLUSTER_SIZE,
-            interpret=interp,
-        )
+        def run_tri(tmax):
+            return pk.triangle_closest(
+                o, d, t_min_b, tmax, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                scene.tri_normal, scene.tri_mat,
+                cluster_min=None if tri_small else scene.tri_cluster_min,
+                cluster_max=None if tri_small else scene.tri_cluster_max,
+                prim_tile=_round_tile(t_rows_real, 8) if tri_small else 256,
+                interpret=interp,
+            )
+
+        def run_sph(tmax):
+            return pk.sphere_closest(
+                o, d, t_min_b, tmax, scene.sph_center, scene.sph_radius,
+                scene.sph_mat,
+                cluster_min=None if sph_small else scene.sph_cluster_min,
+                cluster_max=None if sph_small else scene.sph_cluster_max,
+                prim_tile=_round_tile(s_rows, 8) if sph_small else SPH_CLUSTER_SIZE,
+                interpret=interp,
+            )
+
+        # Run the smaller class first and cap the bigger kernel's t_max with
+        # its per-ray results: a ground quad or sky dome bounds every ray,
+        # which is what lets the bigger kernel's front-to-back early-out fire
+        # (a single all-miss ray would otherwise hold its tile's bound at inf).
+        if t_rows_real <= s_rows:
+            tri_t, tri_p, tri_n, tri_m = run_tri(t_max_b)
+            sph_t, sph_p, sph_n, sph_m = run_sph(jnp.minimum(t_max_b, tri_t))
+        else:
+            sph_t, sph_p, sph_n, sph_m = run_sph(t_max_b)
+            tri_t, tri_p, tri_n, tri_m = run_tri(jnp.minimum(t_max_b, sph_t))
         sph_p = jnp.where(sph_p >= 0, sph_p + t_rows_real, -1)
 
         # Hit records come out of the kernels fully formed — no gathers.

@@ -3,13 +3,27 @@
 The jnp bruteforce path (ops/intersect.py) materializes (N, P)-shaped
 intermediates in HBM — at production wave sizes the traversal is pure HBM
 bandwidth. These kernels keep a tile of rays in registers and stream the
-*entire* primitive soup through VMEM (scene data is tiny: 70k triangles ≈
-2.5 MB), so each ray tile reads HBM exactly once and the (rays × prims)
-intersection math never leaves the chip.
+primitive soup through VMEM, so each ray tile reads HBM exactly once and the
+(rays × prims) intersection math never leaves the chip.
 
 Layout: rays live on the 128-wide lane axis, primitives on the sublane axis —
 every op is a rank-2 (prim_tile, ray_tile) VPU broadcast of (prim_tile, 1)
 primitive scalars against (1, ray_tile) ray components.
+
+Traversal is a two-level hierarchy executed per ray tile (the TPU answer to
+the reference's linear scan, world.rs:270-290, and the BASELINE "LBVH" row):
+primitives are morton-clustered at build time (models/scene.py) and the
+kernel runs
+
+  1. a *prepass* computing each cluster's conservative entry distance for
+     this tile (slab test of the cluster AABB against all rays, reduced to
+     the min entry over rays that enter at all; inf when no ray enters);
+  2. a *front-to-back main loop*: extract-min over the remaining keys, stop
+     the whole traversal once the nearest unvisited cluster lies beyond
+     every ray's current best (``kmin >= max_r min(best_t_r, t_max_r)``),
+     re-test the chosen cluster against the tightened per-ray bounds, and
+     only then stream its rows (VMEM slice for spheres, HBM DMA for
+     triangles) through the exact intersection math.
 
 The kernels also resolve the winning primitive's shading data **in-kernel**
 (outward normal and material id, selected with an argmin mask while the tile
@@ -35,6 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_TILE = 1024      # rays per grid step (lane axis, multiple of 128)
 PRIM_TILE = 256     # primitives per inner iteration (sublane axis, multiple of 8)
+KEY_LANES = 128      # clusters per prepass chunk / keys-buffer row
+_DEBUG_NO_EARLYOUT = False  # diagnostic: visit every entered cluster in order
 _INF = float("inf")  # plain python float: jnp constants can't be captured by kernels
 
 
@@ -55,23 +71,28 @@ def _select_winner(mask_f, cols):
     return [jnp.sum(mask_f * c, axis=0, keepdims=True) for c in cols]
 
 
-def _pack_aabbs(cluster_min, cluster_max, n_clusters, dtype):
-    """(C,3)+(C,3) → padded (n_clusters, 8) [min|max|pad]; missing → open boxes."""
+def _pack_aabbs(cluster_min, cluster_max, n_real, n_rows, dtype):
+    """(C,3)+(C,3) → padded (n_rows, 8) [min|max|pad].
+
+    Rows < ``n_real`` with no data become open boxes (always entered); rows
+    >= ``n_real`` are inverted empty boxes (never entered, so the traversal
+    never picks a cluster index past the real table).
+    """
     if cluster_min is None:
         a = jnp.concatenate(
-            [jnp.full((n_clusters, 3), -_INF, dtype), jnp.full((n_clusters, 3), _INF, dtype),
-             jnp.zeros((n_clusters, 2), dtype)], axis=1)
-        return a
-    a = jnp.concatenate(
-        [cluster_min.astype(dtype), cluster_max.astype(dtype),
-         jnp.zeros((cluster_min.shape[0], 2), dtype)], axis=1)
-    pad = n_clusters - a.shape[0]
+            [jnp.full((n_real, 3), -_INF, dtype), jnp.full((n_real, 3), _INF, dtype),
+             jnp.zeros((n_real, 2), dtype)], axis=1)
+    else:
+        a = jnp.concatenate(
+            [cluster_min.astype(dtype), cluster_max.astype(dtype),
+             jnp.zeros((cluster_min.shape[0], 2), dtype)], axis=1)[:n_real]
+    pad = n_rows - a.shape[0]
     if pad > 0:  # extra clusters are empty (inverted box)
         empty = jnp.concatenate(
             [jnp.full((pad, 3), _INF, dtype), jnp.full((pad, 3), -_INF, dtype),
              jnp.zeros((pad, 2), dtype)], axis=1)
         a = jnp.concatenate([a, empty], axis=0)
-    return a[:n_clusters]
+    return a[:n_rows]
 
 
 def _safe_inv(d):
@@ -79,20 +100,20 @@ def _safe_inv(d):
     return 1.0 / jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
 
 
-def _tile_box_hit(aabb_ref, s, o, inv_d, t_min, t_upper):
-    """Slab test of one cluster AABB against the whole ray tile.
+def _slab_range(bmin, bmax, o, inv_d, t_min, t_upper):
+    """Slab test of cluster AABB rows against the ray tile.
 
-    Returns a scalar: does ANY ray enter the box within [t_min, t_upper]?
-    Empty clusters carry inverted boxes (+inf/-inf) and never pass.
+    ``bmin``/``bmax`` are 3-tuples of (C, 1) columns; returns ``(tnear, tfar)``
+    of shape (C, R). Entered iff tnear <= tfar. Empty clusters carry inverted
+    boxes (+inf/-inf) and never pass.
     """
     (ox, oy, oz), (ix, iy, iz) = o, inv_d
-    row = pl.ds(s, 1)
-    x1 = (aabb_ref[row, 0:1] - ox) * ix
-    x2 = (aabb_ref[row, 3:4] - ox) * ix
-    y1 = (aabb_ref[row, 1:2] - oy) * iy
-    y2 = (aabb_ref[row, 4:5] - oy) * iy
-    z1 = (aabb_ref[row, 2:3] - oz) * iz
-    z2 = (aabb_ref[row, 5:6] - oz) * iz
+    x1 = (bmin[0] - ox) * ix
+    x2 = (bmax[0] - ox) * ix
+    y1 = (bmin[1] - oy) * iy
+    y2 = (bmax[1] - oy) * iy
+    z1 = (bmin[2] - oz) * iz
+    z2 = (bmax[2] - oz) * iz
     tnear = jnp.maximum(
         jnp.maximum(jnp.minimum(x1, x2), jnp.minimum(y1, y2)),
         jnp.maximum(jnp.minimum(z1, z2), t_min),
@@ -101,7 +122,62 @@ def _tile_box_hit(aabb_ref, s, o, inv_d, t_min, t_upper):
         jnp.minimum(jnp.maximum(x1, x2), jnp.maximum(y1, y2)),
         jnp.minimum(jnp.maximum(z1, z2), t_upper),
     )
-    return jnp.any(tnear <= tfar)
+    return tnear, tfar
+
+
+def _aabb_cols(aabb_ref, a, b):
+    """Static row-slice of the packed AABB table as (C,1) column tuples."""
+    bmin = (aabb_ref[a:b, 0:1], aabb_ref[a:b, 1:2], aabb_ref[a:b, 2:3])
+    bmax = (aabb_ref[a:b, 3:4], aabb_ref[a:b, 4:5], aabb_ref[a:b, 5:6])
+    return bmin, bmax
+
+
+def _keys_prepass(aabb_ref, keys_ref, o, inv_d, t_min, t_max, *,
+                  krows, n_real, row0=0, aabb_row0=0):
+    """Fill ``keys_ref`` rows [row0, row0+krows) with each cluster's
+    conservative entry distance over the tile (inf when no ray enters its
+    AABB). Statically unrolled in 128-cluster chunks so every store has a
+    static row index.
+
+    Lanes >= ``n_real`` are forced to inf: inverted "empty" padding boxes
+    actually PASS the min/max slab formulation (per-axis min of ±inf slabs
+    is always -inf, so tnear degenerates to t_min) — they must be excluded
+    by index, not by geometry.
+    """
+    for k in range(krows):
+        bmin, bmax = _aabb_cols(
+            aabb_ref, aabb_row0 + k * KEY_LANES, aabb_row0 + (k + 1) * KEY_LANES
+        )
+        tnear, tfar = _slab_range(bmin, bmax, o, inv_d, t_min, t_max)  # (128, R)
+        valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (KEY_LANES, 1), 0) + k * KEY_LANES
+            < n_real
+        )
+        key = jnp.min(jnp.where((tnear <= tfar) & valid, tnear, _INF), axis=1)
+        keys_ref[row0 + k : row0 + k + 1, :] = key[None, :]
+
+
+def _extract_min(keys_ref, krows, row0=0):
+    """(kmin, class-relative cluster index of kmin) over the keys buffer.
+    The index is derived with a where/iota/min reduction (portable scalar
+    argmin)."""
+    kv = keys_ref[row0 : row0 + krows, :]
+    kmin = jnp.min(kv)
+    rows = jax.lax.broadcasted_iota(jnp.int32, kv.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, kv.shape, 1)
+    flat = rows * KEY_LANES + cols
+    idx = jnp.min(jnp.where(kv == kmin, flat, jnp.int32(2**30)))
+    return kmin, idx
+
+
+def _clear_key(keys_ref, idx, krows, row0=0):
+    """Set key ``idx`` (class-relative) to +inf via a masked full-buffer
+    write — a dynamic 2-D scalar store does not reliably lower in Mosaic."""
+    kv = keys_ref[row0 : row0 + krows, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, kv.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, kv.shape, 1)
+    flat = rows * KEY_LANES + cols
+    keys_ref[row0 : row0 + krows, :] = jnp.where(flat == idx, _INF, kv)
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +186,8 @@ def _tile_box_hit(aabb_ref, s, o, inv_d, t_min, t_upper):
 
 def _sphere_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, aux_ref,
                    aabb_ref, t_ref, i_ref, n_ref, m_ref, st_t, st_i, st_g,
-                   *, prim_tiles, prim_tile):
+                   keys,
+                   *, prim_tiles, prim_tile, krows):
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]   # (1, R)
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
     t_min = tmin_ref[0:1, :]
@@ -118,62 +195,99 @@ def _sphere_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, aux_ref,
 
     od = ox * dx + oy * dy + oz * dz
     oo = ox * ox + oy * oy + oz * oz
+    o3 = (ox, oy, oz)
     inv_d = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
 
     st_t[:, :] = jnp.full(t_min.shape, _INF)
     st_i[:, :] = jnp.full(t_min.shape, -1, jnp.int32)
     st_g[:, :] = jnp.zeros((4, t_min.shape[1]), t_min.dtype)
-
-    def body(s, _):
-        enter = _tile_box_hit(
-            aabb_ref, s, (ox, oy, oz), inv_d, t_min,
-            jnp.minimum(t_max, st_t[0:1, :]),
-        )
-
-        @pl.when(enter)
-        def _():
-            sl = pl.ds(s * prim_tile, prim_tile)
-            cx = c_ref[sl, 0:1]   # (P, 1)
-            cy = c_ref[sl, 1:2]
-            cz = c_ref[sl, 2:3]
-            r2 = r2_ref[sl, 0:1]
-            inv_r = aux_ref[sl, 0:1]   # 1/radius (0 for padding)
-            matid = aux_ref[sl, 1:2]   # material id as f32
-
-            cd = cx * dx + cy * dy + cz * dz            # (P, R)
-            co = cx * ox + cy * oy + cz * oz
-            cc = cx * cx + cy * cy + cz * cz
-            half_b = od - cd
-            c = oo - 2.0 * co + cc - r2
-            disc = half_b * half_b - c                   # a == 1 (unit directions)
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            root1 = -half_b - sq
-            root2 = -half_b + sq
-            live = (disc >= 0.0) & (r2 > 0.0)
-            ok1 = live & (root1 >= t_min) & (root1 <= t_max)
-            ok2 = live & (root2 >= t_min) & (root2 <= t_max)
-            ts = jnp.where(ok1, root1, jnp.where(ok2, root2, _INF))
-
-            best_t = st_t[0:1, :]
-            tmin_tile = jnp.min(ts, axis=0, keepdims=True)           # (1, R)
-            arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
-            better = tmin_tile < best_t
-
-            row_iota = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
-            mask_f = ((row_iota == arg) & better).astype(ts.dtype)
-            scx, scy, scz, sir = _select_winner(mask_f, (cx, cy, cz, inv_r))
-            (sm,) = _select_winner(mask_f, (matid,))
-
-            st_i[:, :] = jnp.where(better, s * prim_tile + arg, st_i[0:1, :])
-            st_t[:, :] = jnp.where(better, tmin_tile, best_t)
-            geo = jnp.concatenate([scx, scy, scz, sir], axis=0)      # (4, R)
-            st_g[0:4, :] = jnp.where(better, geo, st_g[0:4, :])
-            m_ref[:, :] = jnp.where(better, sm, m_ref[0:1, :].astype(ts.dtype)).astype(jnp.int32)
-
-        return 0
-
     m_ref[:, :] = jnp.zeros(t_min.shape, jnp.int32)
-    jax.lax.fori_loop(0, prim_tiles, body, 0)
+
+    def test_cluster(s, live_mask=None):
+        sl = pl.ds(s * prim_tile, prim_tile)
+        cx = c_ref[sl, 0:1]   # (P, 1)
+        cy = c_ref[sl, 1:2]
+        cz = c_ref[sl, 2:3]
+        r2 = r2_ref[sl, 0:1]
+        inv_r = aux_ref[sl, 0:1]   # 1/radius (0 for padding)
+        matid = aux_ref[sl, 1:2]   # material id as f32
+
+        cd = cx * dx + cy * dy + cz * dz            # (P, R)
+        co = cx * ox + cy * oy + cz * oz
+        cc = cx * cx + cy * cy + cz * cz
+        half_b = od - cd
+        c = oo - 2.0 * co + cc - r2
+        disc = half_b * half_b - c                   # a == 1 (unit directions)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        root1 = -half_b - sq
+        root2 = -half_b + sq
+        live = (disc >= 0.0) & (r2 > 0.0)
+        ok1 = live & (root1 >= t_min) & (root1 <= t_max)
+        ok2 = live & (root2 >= t_min) & (root2 <= t_max)
+        ts = jnp.where(ok1, root1, jnp.where(ok2, root2, _INF))
+        if live_mask is not None:
+            # Mask folded into values (NOT @pl.when: predication around this
+            # loop proved unreliable on this Mosaic version — see main loop).
+            ts = jnp.where(live_mask, ts, _INF)
+
+        best_t = st_t[0:1, :]
+        tmin_tile = jnp.min(ts, axis=0, keepdims=True)           # (1, R)
+        arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
+        better = tmin_tile < best_t
+
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
+        mask_f = ((row_iota == arg) & better).astype(ts.dtype)
+        scx, scy, scz, sir = _select_winner(mask_f, (cx, cy, cz, inv_r))
+        (sm,) = _select_winner(mask_f, (matid,))
+
+        st_i[:, :] = jnp.where(better, s * prim_tile + arg, st_i[0:1, :])
+        st_t[:, :] = jnp.where(better, tmin_tile, best_t)
+        geo = jnp.concatenate([scx, scy, scz, sir], axis=0)      # (4, R)
+        st_g[0:4, :] = jnp.where(better, geo, st_g[0:4, :])
+        m_ref[:, :] = jnp.where(better, sm, m_ref[0:1, :].astype(ts.dtype)).astype(jnp.int32)
+
+    if prim_tiles == 1:
+        test_cluster(0)
+    else:
+        # Front-to-back traversal, predication-free: a while_loop walks the
+        # keys in ascending order and every iteration runs the full cluster
+        # test with the early-out folded into the VALUE domain (ts := inf
+        # when this iteration is past the early-out). @pl.when around this
+        # loop's side effects miscompiled (phantom winner writes).
+        _keys_prepass(aabb_ref, keys, o3, inv_d, t_min, t_max,
+                      krows=krows, n_real=prim_tiles)
+
+        def cond(carry):
+            i, done_i = carry
+            return (i < prim_tiles) & (done_i == 0)
+
+        def body(carry):
+            i, _ = carry
+            kmin, s = _extract_min(keys, krows)
+            # Post-exhaustion s indexes an arbitrary inf key, possibly a
+            # padded cluster: clamp so the table slice stays in range.
+            s = jnp.minimum(s, jnp.int32(prim_tiles - 1))
+            worst = jnp.max(jnp.minimum(st_t[0:1, :], t_max))
+            if _DEBUG_NO_EARLYOUT:
+                worst = jnp.asarray(_INF, t_min.dtype)
+            active = kmin < worst
+            _clear_key(keys, s, krows)
+            # Re-test the cluster against the bounds tightened since the
+            # prepass; skip the whole cluster when no ray can improve in it.
+            row = pl.ds(s, 1)
+            b0 = (aabb_ref[row, 0:1], aabb_ref[row, 1:2], aabb_ref[row, 2:3])
+            b1 = (aabb_ref[row, 3:4], aabb_ref[row, 4:5], aabb_ref[row, 5:6])
+            tnear, tfar = _slab_range(
+                b0, b1, o3, inv_d, t_min, jnp.minimum(t_max, st_t[0:1, :])
+            )
+
+            @pl.when(active & jnp.any(tnear <= tfar))
+            def _():
+                test_cluster(s)
+
+            return (i + 1, jnp.where(active, jnp.int32(0), jnp.int32(1)))
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
 
     best_t = st_t[0:1, :]
     best_i = st_i[0:1, :]
@@ -202,12 +316,17 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, sph_mat=None,
     n = o.shape[0]
     n_pad = _cdiv(n, ray_tile) * ray_tile
     s_pad = _cdiv(centers.shape[0], prim_tile) * prim_tile
+    prim_tiles = s_pad // prim_tile
+    krows = _cdiv(prim_tiles, KEY_LANES)
     if sph_mat is None:
         sph_mat = jnp.zeros((centers.shape[0],), jnp.int32)
 
     o_t = _pad_rows(o, n_pad).T          # (3, N)
     d_t = _pad_rows(d, n_pad, fill=1.0).T
-    tmin_r = _pad_rows(jnp.broadcast_to(t_min, (n,))[:, None], n_pad).T  # (1, N)
+    # Padding rays carry t_min=+inf: they can never hit, never enter a
+    # cluster AABB (keeping prepass keys honest), and never hold the
+    # early-out open (min(best_t, t_max=0) == 0 for them).
+    tmin_r = _pad_rows(jnp.broadcast_to(t_min, (n,))[:, None], n_pad, fill=_INF).T
     tmax_r = _pad_rows(jnp.broadcast_to(t_max, (n,))[:, None], n_pad).T
     c_p = _pad_rows(centers, s_pad, fill=1e9)
     r2_p = _pad_rows((radius * radius)[:, None] * jnp.sign(radius)[:, None], s_pad)
@@ -216,11 +335,12 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, sph_mat=None,
     aux = _pad_rows(
         jnp.stack([inv_r, sph_mat.astype(o.dtype)], axis=1), s_pad
     )  # (S, 2)
-    aabb = _pack_aabbs(cluster_min, cluster_max, s_pad // prim_tile, o.dtype)
+    aabb = _pack_aabbs(cluster_min, cluster_max, prim_tiles, krows * KEY_LANES, o.dtype)
 
     grid = (n_pad // ray_tile,)
     t_out, i_out, n_out, m_out = pl.pallas_call(
-        functools.partial(_sphere_kernel, prim_tiles=s_pad // prim_tile, prim_tile=prim_tile),
+        functools.partial(_sphere_kernel, prim_tiles=prim_tiles,
+                          prim_tile=prim_tile, krows=krows),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -248,6 +368,7 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, sph_mat=None,
             pltpu.VMEM((1, ray_tile), o.dtype),
             pltpu.VMEM((1, ray_tile), jnp.int32),
             pltpu.VMEM((4, ray_tile), o.dtype),
+            pltpu.VMEM((max(krows, 1), KEY_LANES), o.dtype),
         ],
         interpret=interpret,
     )(o_t, d_t, tmin_r, tmax_r, c_p, r2_p, aux, aabb)
@@ -259,12 +380,14 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, sph_mat=None,
 # ---------------------------------------------------------------------------
 
 def _triangle_kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, aabb_ref,
-                     t_ref, i_ref, n_ref, m_ref, st_t, st_i, tri_tile_ref, dma_sem,
-                     *, prim_tiles, prim_tile):
+                     t_ref, i_ref, n_ref, m_ref, st_t, st_i, keys,
+                     tri_tile_ref, dma_sem,
+                     *, prim_tiles, prim_tile, krows):
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
     t_min = tmin_ref[0:1, :]
     t_max = tmax_ref[0:1, :]
+    o3 = (ox, oy, oz)
     inv_d = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
 
     st_t[:, :] = jnp.full(t_min.shape, _INF)
@@ -272,68 +395,103 @@ def _triangle_kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, aabb_ref,
     n_ref[:, :] = jnp.zeros((3, t_min.shape[1]), t_min.dtype)
     m_ref[:, :] = jnp.zeros(t_min.shape, jnp.int32)
 
-    def body(s, _):
-        enter = _tile_box_hit(
-            aabb_ref, s, (ox, oy, oz), inv_d, t_min,
-            jnp.minimum(t_max, st_t[0:1, :]),
+    def fetch_cluster(s, buf=0):
+        # Stream this cluster's rows from HBM: a (T, 13) table resident in
+        # VMEM would be lane-padded 13 -> 128 (~14x waste, OOM at 70k tris).
+        # Double-buffered by iteration parity (WAR safety on the scratch).
+        tile = tri_tile_ref.at[buf]
+        cp = pltpu.make_async_copy(
+            tri_ref.at[pl.ds(s * prim_tile, prim_tile)], tile, dma_sem.at[buf]
         )
+        cp.start()
+        cp.wait()
 
-        @pl.when(enter)
-        def _():
-            # Stream this cluster's rows from HBM: a (T, 13) table resident in
-            # VMEM would be lane-padded 13 -> 128 (~14x waste, OOM at 70k tris);
-            # the AABB cull above also skips the fetch entirely.
-            cp = pltpu.make_async_copy(
-                tri_ref.at[pl.ds(s * prim_tile, prim_tile)], tri_tile_ref, dma_sem
+    def test_cluster(s, live_mask=None, buf=0):
+        # Cluster rows were DMA'd into tri_tile_ref[buf] by fetch_cluster.
+        tile = tri_tile_ref.at[buf]
+        v0x = tile[:, 0:1]; v0y = tile[:, 1:2]; v0z = tile[:, 2:3]
+        e1x = tile[:, 3:4]; e1y = tile[:, 4:5]; e1z = tile[:, 5:6]
+        e2x = tile[:, 6:7]; e2y = tile[:, 7:8]; e2z = tile[:, 8:9]
+        nx = tile[:, 9:10]; ny = tile[:, 10:11]; nz = tile[:, 11:12]
+        matid = tile[:, 12:13]
+
+        # h = d × e2 (P, R)
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = 1.0 / a
+        sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        # q = s × e1
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (
+            (jnp.abs(a) >= 1e-8)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= t_min) & (t <= t_max)
+        )
+        ts = jnp.where(ok, t, _INF)
+        if live_mask is not None:
+            ts = jnp.where(live_mask, ts, _INF)   # value-folded predication
+
+        best_t = st_t[0:1, :]
+        tmin_tile = jnp.min(ts, axis=0, keepdims=True)
+        arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
+        better = tmin_tile < best_t
+
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
+        mask_f = ((row_iota == arg) & better).astype(ts.dtype)
+        snx, sny, snz, sm = _select_winner(mask_f, (nx, ny, nz, matid))
+
+        st_i[:, :] = jnp.where(better, s * prim_tile + arg, st_i[0:1, :])
+        st_t[:, :] = jnp.where(better, tmin_tile, best_t)
+        nrm = jnp.concatenate([snx, sny, snz], axis=0)
+        n_ref[0:3, :] = jnp.where(better, nrm, n_ref[0:3, :])
+        m_ref[:, :] = jnp.where(better, sm, m_ref[0:1, :].astype(ts.dtype)).astype(jnp.int32)
+
+    if prim_tiles == 1:
+        fetch_cluster(0)
+        test_cluster(0)
+    else:
+        # Front-to-back traversal, predication-free (see _sphere_kernel).
+        _keys_prepass(aabb_ref, keys, o3, inv_d, t_min, t_max,
+                      krows=krows, n_real=prim_tiles)
+
+        def cond(carry):
+            i, done_i = carry
+            return (i < prim_tiles) & (done_i == 0)
+
+        def body(carry):
+            i, _ = carry
+            kmin, s = _extract_min(keys, krows)
+            s = jnp.minimum(s, jnp.int32(prim_tiles - 1))
+            worst = jnp.max(jnp.minimum(st_t[0:1, :], t_max))
+            if _DEBUG_NO_EARLYOUT:
+                worst = jnp.asarray(_INF, t_min.dtype)
+            active = kmin < worst
+            _clear_key(keys, s, krows)
+            row = pl.ds(s, 1)
+            b0 = (aabb_ref[row, 0:1], aabb_ref[row, 1:2], aabb_ref[row, 2:3])
+            b1 = (aabb_ref[row, 3:4], aabb_ref[row, 4:5], aabb_ref[row, 5:6])
+            tnear, tfar = _slab_range(
+                b0, b1, o3, inv_d, t_min, jnp.minimum(t_max, st_t[0:1, :])
             )
-            cp.start()
-            cp.wait()
-            v0x = tri_tile_ref[:, 0:1]; v0y = tri_tile_ref[:, 1:2]; v0z = tri_tile_ref[:, 2:3]
-            e1x = tri_tile_ref[:, 3:4]; e1y = tri_tile_ref[:, 4:5]; e1z = tri_tile_ref[:, 5:6]
-            e2x = tri_tile_ref[:, 6:7]; e2y = tri_tile_ref[:, 7:8]; e2z = tri_tile_ref[:, 8:9]
-            nx = tri_tile_ref[:, 9:10]; ny = tri_tile_ref[:, 10:11]; nz = tri_tile_ref[:, 11:12]
-            matid = tri_tile_ref[:, 12:13]
+            buf = i % 2
 
-            # h = d × e2 (P, R)
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / a
-            sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            # q = s × e1
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (dx * qx + dy * qy + dz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            ok = (
-                (jnp.abs(a) >= 1e-8)
-                & (u >= 0.0) & (u <= 1.0)
-                & (v >= 0.0) & (u + v <= 1.0)
-                & (t >= t_min) & (t <= t_max)
-            )
-            ts = jnp.where(ok, t, _INF)
+            @pl.when(active & jnp.any(tnear <= tfar))
+            def _():
+                fetch_cluster(s, buf=buf)
+                test_cluster(s, buf=buf)
 
-            best_t = st_t[0:1, :]
-            tmin_tile = jnp.min(ts, axis=0, keepdims=True)
-            arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
-            better = tmin_tile < best_t
+            return (i + 1, jnp.where(active, jnp.int32(0), jnp.int32(1)))
 
-            row_iota = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
-            mask_f = ((row_iota == arg) & better).astype(ts.dtype)
-            snx, sny, snz, sm = _select_winner(mask_f, (nx, ny, nz, matid))
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
 
-            st_i[:, :] = jnp.where(better, s * prim_tile + arg, st_i[0:1, :])
-            st_t[:, :] = jnp.where(better, tmin_tile, best_t)
-            nrm = jnp.concatenate([snx, sny, snz], axis=0)
-            n_ref[0:3, :] = jnp.where(better, nrm, n_ref[0:3, :])
-            m_ref[:, :] = jnp.where(better, sm, m_ref[0:1, :].astype(ts.dtype)).astype(jnp.int32)
-
-        return 0
-
-    jax.lax.fori_loop(0, prim_tiles, body, 0)
     t_ref[:, :] = st_t[0:1, :]
     i_ref[:, :] = st_i[0:1, :]
 
@@ -349,6 +507,8 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
     n = o.shape[0]
     n_pad = _cdiv(n, ray_tile) * ray_tile
     t_rows = _cdiv(v0.shape[0], prim_tile) * prim_tile
+    prim_tiles = t_rows // prim_tile
+    krows = _cdiv(prim_tiles, KEY_LANES)
     if tri_normal is None:
         cr = jnp.cross(e1, e2)
         nrm = jnp.linalg.norm(cr, axis=-1, keepdims=True)
@@ -358,7 +518,7 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
 
     o_t = _pad_rows(o, n_pad).T
     d_t = _pad_rows(d, n_pad, fill=1.0).T
-    tmin_r = _pad_rows(jnp.broadcast_to(t_min, (n,))[:, None], n_pad).T
+    tmin_r = _pad_rows(jnp.broadcast_to(t_min, (n,))[:, None], n_pad, fill=_INF).T
     tmax_r = _pad_rows(jnp.broadcast_to(t_max, (n,))[:, None], n_pad).T
     # Packed triangle table (T, 128): v0 | e1 | e2 | normal | mat | lane pad.
     # Rows zero-padded (a == 0 → parallel reject); lanes padded to the native
@@ -370,11 +530,12 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
         ),
         t_rows,
     )
-    aabb = _pack_aabbs(cluster_min, cluster_max, t_rows // prim_tile, o.dtype)
+    aabb = _pack_aabbs(cluster_min, cluster_max, prim_tiles, krows * KEY_LANES, o.dtype)
 
     grid = (n_pad // ray_tile,)
     t_out, i_out, n_out, m_out = pl.pallas_call(
-        functools.partial(_triangle_kernel, prim_tiles=t_rows // prim_tile, prim_tile=prim_tile),
+        functools.partial(_triangle_kernel, prim_tiles=prim_tiles,
+                          prim_tile=prim_tile, krows=krows),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -399,8 +560,9 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
         scratch_shapes=[
             pltpu.VMEM((1, ray_tile), o.dtype),
             pltpu.VMEM((1, ray_tile), jnp.int32),
-            pltpu.VMEM((prim_tile, 128), o.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((max(krows, 1), KEY_LANES), o.dtype),
+            pltpu.VMEM((2, prim_tile, 128), o.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(o_t, d_t, tmin_r, tmax_r, tri, aabb)
@@ -412,84 +574,124 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
 # ---------------------------------------------------------------------------
 
 def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, tri_ref,
-                   sph_aabb_ref, tri_aabb_ref, occ_ref, tri_tile_ref, dma_sem,
-                   *, sph_tiles, tri_tiles, prim_tile):
+                   sph_aabb_ref, tri_aabb_ref, occ_ref, keys,
+                   tri_tile_ref, dma_sem,
+                   *, sph_tiles, tri_tiles, prim_tile, sph_krows, tri_krows):
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
     t_min = tmin_ref[0:1, :]
     t_max = tmax_ref[0:1, :]
+    o3 = (ox, oy, oz)
 
     od = ox * dx + oy * dy + oz * dz
     oo = ox * ox + oy * oy + oz * oz
     inv_d = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
 
     occ_ref[:, :] = jnp.zeros(t_min.shape, jnp.int32)
+    # A lane is settled when occluded or degenerate (t_max < t_min covers
+    # padding lanes); a class sweep stops once every lane settles.
+    settled0 = (t_max < t_min).astype(jnp.int32)
 
-    def sph_body(s, _):
-        enter = _tile_box_hit(sph_aabb_ref, s, (ox, oy, oz), inv_d, t_min, t_max)
+    def all_settled():
+        return jnp.min(occ_ref[0:1, :] | settled0) > 0
 
-        @pl.when(enter)
-        def _():
-            sl = pl.ds(s * prim_tile, prim_tile)
-            cx = c_ref[sl, 0:1]; cy = c_ref[sl, 1:2]; cz = c_ref[sl, 2:3]
-            r2 = r2_ref[sl, 0:1]
-            cd = cx * dx + cy * dy + cz * dz
-            co = cx * ox + cy * oy + cz * oz
-            cc = cx * cx + cy * cy + cz * cz
-            half_b = od - cd
-            c = oo - 2.0 * co + cc - r2
-            disc = half_b * half_b - c
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            root1 = -half_b - sq
-            root2 = -half_b + sq
-            live = (disc >= 0.0) & (r2 > 0.0)
-            ok = live & (
-                ((root1 >= t_min) & (root1 <= t_max))
-                | ((root2 >= t_min) & (root2 <= t_max))
-            )
-            occ_ref[:, :] = occ_ref[0:1, :] | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+    def sph_cluster(s, live_mask=None):
+        sl = pl.ds(s * prim_tile, prim_tile)
+        cx = c_ref[sl, 0:1]; cy = c_ref[sl, 1:2]; cz = c_ref[sl, 2:3]
+        r2 = r2_ref[sl, 0:1]
+        cd = cx * dx + cy * dy + cz * dz
+        co = cx * ox + cy * oy + cz * oz
+        cc = cx * cx + cy * cy + cz * cz
+        half_b = od - cd
+        c = oo - 2.0 * co + cc - r2
+        disc = half_b * half_b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        root1 = -half_b - sq
+        root2 = -half_b + sq
+        live = (disc >= 0.0) & (r2 > 0.0)
+        ok = live & (
+            ((root1 >= t_min) & (root1 <= t_max))
+            | ((root2 >= t_min) & (root2 <= t_max))
+        )
+        hit = jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+        if live_mask is not None:
+            hit = jnp.where(live_mask, hit, 0)   # value-folded predication
+        occ_ref[:, :] = occ_ref[0:1, :] | hit
 
-        return 0
+    def tri_cluster(s, live_mask=None, buf=0):
+        tile = tri_tile_ref.at[buf]
+        cp = pltpu.make_async_copy(
+            tri_ref.at[pl.ds(s * prim_tile, prim_tile)], tile, dma_sem.at[buf]
+        )
+        cp.start()
+        cp.wait()
+        v0x = tile[:, 0:1]; v0y = tile[:, 1:2]; v0z = tile[:, 2:3]
+        e1x = tile[:, 3:4]; e1y = tile[:, 4:5]; e1z = tile[:, 5:6]
+        e2x = tile[:, 6:7]; e2y = tile[:, 7:8]; e2z = tile[:, 8:9]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = 1.0 / a
+        sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (
+            (jnp.abs(a) >= 1e-8)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= t_min) & (t <= t_max)
+        )
+        hit = jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+        if live_mask is not None:
+            hit = jnp.where(live_mask, hit, 0)
+        occ_ref[:, :] = occ_ref[0:1, :] | hit
 
-    def tri_body(s, _):
-        enter = _tile_box_hit(tri_aabb_ref, s, (ox, oy, oz), inv_d, t_min, t_max)
+    def run_class(tiles, krows, key_row0, cluster_fn, skip_if_settled):
+        """Front-to-back ordered occlusion sweep over one primitive class,
+        predication-free (while_loop + value-folded masks): near-first order
+        drains lanes fastest, and the sweep stops once all lanes settle."""
+        if tiles == 1:
+            mask = None
+            if skip_if_settled:
+                mask = jnp.logical_not(all_settled())
+            cluster_fn(0, mask)
+            return
 
-        @pl.when(enter)
-        def _():
-            # Triangle table lives in HBM (lane-padding a (T,9) table in VMEM
-            # wastes ~14x); the cull above also skips the fetch.
-            cp = pltpu.make_async_copy(
-                tri_ref.at[pl.ds(s * prim_tile, prim_tile)], tri_tile_ref, dma_sem
-            )
-            cp.start()
-            cp.wait()
-            v0x = tri_tile_ref[:, 0:1]; v0y = tri_tile_ref[:, 1:2]; v0z = tri_tile_ref[:, 2:3]
-            e1x = tri_tile_ref[:, 3:4]; e1y = tri_tile_ref[:, 4:5]; e1z = tri_tile_ref[:, 5:6]
-            e2x = tri_tile_ref[:, 6:7]; e2y = tri_tile_ref[:, 7:8]; e2z = tri_tile_ref[:, 8:9]
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / a
-            sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (dx * qx + dy * qy + dz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            ok = (
-                (jnp.abs(a) >= 1e-8)
-                & (u >= 0.0) & (u <= 1.0)
-                & (v >= 0.0) & (u + v <= 1.0)
-                & (t >= t_min) & (t <= t_max)
-            )
-            occ_ref[:, :] = occ_ref[0:1, :] | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+        init_done = jnp.int32(0)
+        if skip_if_settled:
+            init_done = jnp.where(all_settled(), jnp.int32(1), jnp.int32(0))
 
-        return 0
+        def cond(carry):
+            i, done_i = carry
+            return (i < tiles) & (done_i == 0)
 
-    jax.lax.fori_loop(0, sph_tiles, sph_body, 0)
-    jax.lax.fori_loop(0, tri_tiles, tri_body, 0)
+        def body(carry):
+            i, _ = carry
+            kmin, s = _extract_min(keys, krows, row0=key_row0)
+            s = jnp.minimum(s, jnp.int32(tiles - 1))
+            active = kmin < _INF
+            _clear_key(keys, s, krows, row0=key_row0)
+            cluster_fn(s, active, **({"buf": i % 2} if cluster_fn is tri_cluster else {}))
+            stop = jnp.logical_not(active) | all_settled()
+            return (i + 1, jnp.where(stop, jnp.int32(1), jnp.int32(0)))
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), init_done))
+
+    # Prepass keys for both classes share one buffer: sphere rows first.
+    if sph_tiles > 1:
+        _keys_prepass(sph_aabb_ref, keys, o3, inv_d, t_min, t_max,
+                      krows=sph_krows, n_real=sph_tiles)
+    if tri_tiles > 1:
+        _keys_prepass(tri_aabb_ref, keys, o3, inv_d, t_min, t_max,
+                      krows=tri_krows, n_real=tri_tiles, row0=sph_krows)
+
+    run_class(sph_tiles, sph_krows, 0, sph_cluster, skip_if_settled=False)
+    run_class(tri_tiles, tri_krows, sph_krows, tri_cluster, skip_if_settled=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "ray_tile", "prim_tile"))
@@ -503,12 +705,17 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
 
     Same hit criteria as the closest-hit kernels (shape.rs:53-89, 161-198);
     returns a bool (N,) mask. ~40% cheaper than closest-hit: no root
-    selection, no argmin, no winner resolve — just an OR-reduction.
+    selection, no argmin, no winner resolve — just an OR-reduction, swept
+    front-to-back with an all-lanes-occluded early-out.
     """
     n = o.shape[0]
     n_pad = _cdiv(n, ray_tile) * ray_tile
     s_pad = _cdiv(centers.shape[0], prim_tile) * prim_tile
     t_rows = _cdiv(v0.shape[0], prim_tile) * prim_tile
+    sph_tiles = s_pad // prim_tile
+    tri_tiles = t_rows // prim_tile
+    sph_krows = _cdiv(sph_tiles, KEY_LANES)
+    tri_krows = _cdiv(tri_tiles, KEY_LANES)
 
     o_t = _pad_rows(o, n_pad).T
     d_t = _pad_rows(d, n_pad, fill=1.0).T
@@ -520,16 +727,20 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
         jnp.concatenate([v0, e1, e2, jnp.zeros((v0.shape[0], 119), o.dtype)], axis=1),
         t_rows,
     )
-    sph_aabb = _pack_aabbs(*(sph_cluster or (None, None)), s_pad // prim_tile, o.dtype)
-    tri_aabb = _pack_aabbs(*(tri_cluster or (None, None)), t_rows // prim_tile, o.dtype)
+    sph_aabb = _pack_aabbs(*(sph_cluster or (None, None)), sph_tiles,
+                           sph_krows * KEY_LANES, o.dtype)
+    tri_aabb = _pack_aabbs(*(tri_cluster or (None, None)), tri_tiles,
+                           tri_krows * KEY_LANES, o.dtype)
 
     grid = (n_pad // ray_tile,)
     occ = pl.pallas_call(
         functools.partial(
             _anyhit_kernel,
-            sph_tiles=s_pad // prim_tile,
-            tri_tiles=t_rows // prim_tile,
+            sph_tiles=sph_tiles,
+            tri_tiles=tri_tiles,
             prim_tile=prim_tile,
+            sph_krows=sph_krows,
+            tri_krows=tri_krows,
         ),
         grid=grid,
         in_specs=[
@@ -546,8 +757,9 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
         out_specs=pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((prim_tile, 128), o.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((sph_krows + tri_krows, KEY_LANES), o.dtype),
+            pltpu.VMEM((2, prim_tile, 128), o.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(o_t, d_t, tmin_r, tmax_r, c_p, r2_p, tri, sph_aabb, tri_aabb)
