@@ -58,6 +58,16 @@ def _cdiv(a, b):
     return (a + b - 1) // b
 
 
+def _out_struct(shape, dtype, *ray_arrays):
+    """Out-shape struct whose varying-mesh-axes are the union over the ray
+    inputs, so the kernels lower under ``shard_map(check_vma=True)``. The
+    union matters: primary rays share one camera origin (an invariant
+    broadcast) while their directions vary per device — the hit record varies
+    over every axis any ray component does."""
+    vma = frozenset().union(*(jax.typeof(a).vma for a in ray_arrays))
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def _pad_rows(a, rows, fill=0.0):
     pad = rows - a.shape[0]
     if pad == 0:
@@ -359,10 +369,10 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, sph_mat=None,
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, n_pad), o.dtype),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((3, n_pad), o.dtype),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            _out_struct((1, n_pad), o.dtype, o, d),
+            _out_struct((1, n_pad), jnp.int32, o, d),
+            _out_struct((3, n_pad), o.dtype, o, d),
+            _out_struct((1, n_pad), jnp.int32, o, d),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, ray_tile), o.dtype),
@@ -552,10 +562,10 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, n_pad), o.dtype),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((3, n_pad), o.dtype),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            _out_struct((1, n_pad), o.dtype, o, d),
+            _out_struct((1, n_pad), jnp.int32, o, d),
+            _out_struct((3, n_pad), o.dtype, o, d),
+            _out_struct((1, n_pad), jnp.int32, o, d),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, ray_tile), o.dtype),
@@ -755,7 +765,7 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle cluster AABBs
         ],
         out_specs=pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        out_shape=_out_struct((1, n_pad), jnp.int32, o, d),
         scratch_shapes=[
             pltpu.VMEM((sph_krows + tri_krows, KEY_LANES), o.dtype),
             pltpu.VMEM((2, prim_tile, 128), o.dtype),

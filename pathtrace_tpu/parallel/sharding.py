@@ -31,6 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.camera import Camera
 from ..models.scene import Scene
+from ..pool import _pool_loop
 from ..render import RenderState, pixel_grid, render_batch
 
 
@@ -150,6 +151,88 @@ def render_sharded(
     )
     image_sum = acc[:n].reshape(h, w, 3)
     return RenderState(image_sum, config.spp)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "width", "height", "spp", "integrator", "max_bounces",
+        "num_slots", "seed", "sample_offset",
+    ),
+)
+def render_pool_sharded(
+    scene: Scene,
+    camera: Camera,
+    *,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    spp: int,
+    integrator: str = "mis",
+    max_bounces: int = 64,
+    num_slots: int = 32768,
+    seed: int = 0,
+    sample_offset: int = 0,
+):
+    """Multi-chip render on the *production* persistent-pool path.
+
+    Each device runs its own saturated path pool (:func:`_pool_loop`) over a
+    private window of the work: the flat pixel array splits into contiguous
+    windows over ``dp``, and the sample range ``[sample_offset,
+    sample_offset+spp)`` splits over ``sp``; per-pixel radiance sums merge
+    with a psum over the ``sp`` axis (ICI). Because the RNG keys off global
+    ``(pixel, sample)`` coordinates, every mesh shape traces the identical
+    sample set as the single-device :func:`pathtrace_tpu.pool.render_pool`;
+    images agree up to float accumulation order (tests/test_sharding.py).
+
+    Each device's pool drains independently — there is no cross-device
+    synchronization until the final psum, so load imbalance costs only the
+    tail, not lockstep stalls.
+
+    Returns ``(image_sum (H*W, 3), rays (dp, sp, 2) uint32 hi/lo pairs,
+    iters (dp, sp))``; decode/aggregate rays with
+    :func:`pathtrace_tpu.pool.ray_count`.
+    """
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    if spp % sp:
+        raise ValueError(f"spp={spp} must divide by sample-axis size {sp}")
+    num_pixels = width * height
+    local_n = -(-num_pixels // dp)  # per-shard pixel window (last may overhang)
+    pixel_lo = jnp.arange(dp, dtype=jnp.int32) * local_n
+    sample_lo = jnp.arange(sp, dtype=jnp.int32) * (spp // sp) + sample_offset
+
+    scene_spec = jax.tree.map(lambda _: P(), scene)
+    camera_spec = jax.tree.map(lambda _: P(), camera)
+
+    def local(scene, camera, plo, slo):
+        img, rays, iters = _pool_loop(
+            scene,
+            camera,
+            plo[0],
+            slo[0],
+            width=width,
+            height=height,
+            total_pixels=num_pixels,
+            local_pixels=local_n,
+            spp=spp // sp,
+            integrator=integrator,
+            max_bounces=max_bounces,
+            num_slots=num_slots,
+            seed=seed,
+        )
+        # Merge sample-parallel partial sums over ICI; ray/iter counters are
+        # returned per-device (exact 64-bit aggregation happens on host).
+        img = jax.lax.psum(img, "sp")
+        return img, rays[None, None, :], iters[None, None]
+
+    img, rays, iters = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(scene_spec, camera_spec, P("dp"), P("sp")),
+        out_specs=(P("dp"), P("dp", "sp"), P("dp", "sp")),
+    )(scene, camera, pixel_lo, sample_lo)
+    return img[:num_pixels], rays, iters
 
 
 def stack_cameras(cameras) -> Camera:

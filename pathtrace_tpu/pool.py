@@ -80,48 +80,37 @@ def _per_slot_uniforms(keys, bounces, dtype):
     return jax.vmap(draw)(keys, bounces)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "width", "height", "spp", "integrator", "max_bounces", "num_slots", "seed",
-        "sample_offset",
-    ),
-)
-def render_pool(
+def _pool_loop(
     scene: Scene,
     camera: Camera,
+    pixel_lo,
+    sample_lo,
     *,
     width: int,
     height: int,
+    total_pixels: int,
+    local_pixels: int,
     spp: int,
-    integrator: str = "mis",
-    max_bounces: int = 64,
-    num_slots: int = 32768,
-    seed: int = 0,
-    sample_offset: int = 0,
+    integrator: str,
+    max_bounces: int,
+    num_slots: int,
+    seed: int,
 ):
-    """Render the full frame with a saturated path pool.
+    """Pool render of the contiguous global pixel range
+    ``[pixel_lo, pixel_lo + local_pixels)`` and the sample range
+    ``[sample_lo, sample_lo + spp)``.
 
-    Returns ``(image_sum (H*W, 3), traced_rays, iterations)``; divide by spp
-    for mean radiance. ``traced_rays`` is a ``(2,)`` uint32 ``(hi, lo)`` pair
-    — decode with :func:`ray_count` — so the count stays exact past 2^32.
+    ``pixel_lo`` and ``sample_lo`` are *traced* scalars so the same compiled
+    program serves every shard of a device mesh (each device renders its own
+    pixel/sample window); the single-device :func:`render_pool` calls this
+    with zeros. RNG coordinates are global ``(pixel, sample)``, so the traced
+    sample set is independent of how the frame is split.
 
-    Work assignment is slot-strided: slot ``s`` owns exactly the work items
-    ``w ≡ s (mod S)``, whose pixels are a coprime-stride permutation of the
-    image (see below). The framebuffer is therefore a dense ``(chunks, S, 3)``
-    array that dying slots flush with a one-hot masked add over the tiny
-    ``chunks`` axis — TPU scatter-adds into a megapixel framebuffer measured
-    ~10 ms/iteration; the dense flush is ~0.1 — and one inverse scatter at the
-    end restores pixel order.
-
-    ``num_slots`` trades per-iteration efficiency against drain-tail
-    occupancy: smaller pools give each slot a longer work stream, which
-    amortizes the heavy tail of path lengths (glass TIR chains run to depth
-    30+). Measured on v5e at 1080p: 16k slots ≈ 2x the throughput of 256k.
+    Returns ``(image_sum (local_pixels, 3), rays (2,) uint32 hi/lo, iters)``.
     """
     use_mis = integrator == "mis"
     use_nee = integrator in ("mis", "nee")
-    num_pixels = width * height
+    num_pixels = local_pixels
     S = min(num_slots, num_pixels)
     chunks = -(-num_pixels // S)          # pixels per slot stream
     work_per_slot = chunks * spp          # work item j -> (chunk j%chunks, sample j//chunks)
@@ -140,27 +129,37 @@ def render_pool(
     dtype = camera.origin.dtype
     base = rng_ops.base_key(seed)
 
-    zero3 = jnp.zeros((S, 3), dtype)
+    # Derive every loop-carry from the traced offsets so the while_loop body
+    # and init agree on varying axes under shard_map (pixel_lo varies over dp,
+    # sample_lo over sp; a plain zeros() would be device-invariant).
+    pixel_lo = jnp.asarray(pixel_lo, jnp.int32)
+    sample_lo = jnp.asarray(sample_lo, jnp.int32)
+    izero = pixel_lo * 0 + sample_lo * 0               # traced int32 zero
+    fzero = izero.astype(dtype)
+
+    zero3 = jnp.zeros((S, 3), dtype) + fzero
     slot_ids = jnp.arange(S, dtype=jnp.int32)
     chunk_iota = jnp.arange(chunks, dtype=jnp.int32)
     state = _PoolState(
-        pixel=jnp.zeros((S,), jnp.int32),
-        chunk=jnp.zeros((S,), jnp.int32),
-        sample=jnp.zeros((S,), jnp.int32),
-        bounce=jnp.zeros((S,), jnp.int32),
+        pixel=jnp.zeros((S,), jnp.int32) + izero,
+        chunk=jnp.zeros((S,), jnp.int32) + izero,
+        sample=jnp.zeros((S,), jnp.int32) + izero,
+        bounce=jnp.zeros((S,), jnp.int32) + izero,
         ray_o=zero3,
-        ray_d=jnp.concatenate([jnp.zeros((S, 2), dtype), jnp.ones((S, 1), dtype)], 1),
-        ray_eta=jnp.ones((S,), dtype),
+        ray_d=jnp.concatenate(
+            [jnp.zeros((S, 2), dtype), jnp.ones((S, 1), dtype)], 1
+        ) + fzero[..., None],
+        ray_eta=jnp.ones((S,), dtype) + fzero,
         prev_point=zero3,
-        pdf_prev=jnp.ones((S,), dtype),
-        prefix=jnp.ones((S, 3), dtype),
+        pdf_prev=jnp.ones((S,), dtype) + fzero,
+        prefix=jnp.ones((S, 3), dtype) + fzero[..., None],
         radiance=zero3,
-        busy=jnp.zeros((S,), bool),
-        cursor=jnp.zeros((S,), jnp.int32),
-        image=jnp.zeros((chunks, S, 3), dtype),
-        iters=jnp.int32(0),
-        rays_lo=jnp.uint32(0),
-        rays_hi=jnp.uint32(0),
+        busy=(slot_ids + izero) < 0,
+        cursor=jnp.zeros((S,), jnp.int32) + izero,
+        image=jnp.zeros((chunks, S, 3), dtype) + fzero[..., None, None],
+        iters=jnp.int32(0) + izero,
+        rays_lo=jnp.uint32(0) + izero.astype(jnp.uint32),
+        rays_hi=jnp.uint32(0) + izero.astype(jnp.uint32),
     )
 
     def cond(s: _PoolState):
@@ -171,19 +170,23 @@ def render_pool(
         free = ~s.busy
         refill = free & (s.cursor < work_per_slot)
         w_item = (s.cursor % chunks) * S + slot_ids
-        new_pixel = (
+        new_local = (
             (w_item.astype(jnp.uint32) * jnp.uint32(perm)) % jnp.uint32(padded_pixels)
         ).astype(jnp.int32)
-        # Global sample index: progressive passes continue the same
-        # counter-RNG streams (sample_offset = samples already rendered).
-        new_sample = s.cursor // chunks + sample_offset
-        # Padding pixels (id >= num_pixels) are traced against pixel id but
-        # never flushed; the waste is <= S/num_pixels of total work.
-        pixel_ok = new_pixel < num_pixels
+        # Global pixel id = window base + permuted local id; the RNG keys off
+        # the *global* (pixel, sample) coordinate, so any pixel/sample split
+        # of the frame traces the identical sample set.
+        new_pixel = pixel_lo + new_local
+        # Global sample index: progressive passes / sample-parallel shards
+        # continue the same counter-RNG streams.
+        new_sample = s.cursor // chunks + sample_lo
+        # Padding work items (local id >= local window, or global id past the
+        # frame on the last shard) are skipped; waste <= S/num_pixels.
+        pixel_ok = (new_local < num_pixels) & (new_pixel < total_pixels)
         cursor = jnp.where(refill, s.cursor + 1, s.cursor)
 
         started = refill & pixel_ok
-        pixel = jnp.where(started, jnp.minimum(new_pixel, num_pixels - 1), s.pixel)
+        pixel = jnp.where(started, jnp.minimum(new_pixel, total_pixels - 1), s.pixel)
         chunk = jnp.where(started, s.cursor % chunks, s.chunk)
         sample = jnp.where(started, new_sample, s.sample)
         keys = rng_ops.pixel_sample_keys(base, pixel, sample)
@@ -311,7 +314,7 @@ def render_pool(
 
     final = jax.lax.while_loop(cond, body, state)
     # Work item w = chunk*S + slot accumulated at image[chunk, slot]; its
-    # pixel is (w*perm) % padded. One inverse scatter restores image order.
+    # local pixel is (w*perm) % padded. One inverse scatter restores order.
     flat = final.image.reshape(padded_pixels, 3)
     w_ids = jnp.arange(padded_pixels, dtype=jnp.uint32)
     dest = ((w_ids * jnp.uint32(perm)) % jnp.uint32(padded_pixels)).astype(jnp.int32)
@@ -319,13 +322,78 @@ def render_pool(
     return image_sum, jnp.stack([final.rays_hi, final.rays_lo]), final.iters
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "integrator", "max_bounces", "num_slots", "seed",
+        "sample_offset",
+    ),
+)
+def render_pool(
+    scene: Scene,
+    camera: Camera,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    integrator: str = "mis",
+    max_bounces: int = 64,
+    num_slots: int = 32768,
+    seed: int = 0,
+    sample_offset: int = 0,
+):
+    """Render the full frame with a saturated path pool.
+
+    Returns ``(image_sum (H*W, 3), traced_rays, iterations)``; divide by spp
+    for mean radiance. ``traced_rays`` is a ``(2,)`` uint32 ``(hi, lo)`` pair
+    — decode with :func:`ray_count` — so the count stays exact past 2^32.
+
+    Work assignment is slot-strided: slot ``s`` owns exactly the work items
+    ``w ≡ s (mod S)``, whose pixels are a coprime-stride permutation of the
+    image (see :func:`_pool_loop`). The framebuffer is a dense
+    ``(chunks, S, 3)`` array that dying slots flush with a one-hot masked add
+    over the tiny ``chunks`` axis — TPU scatter-adds into a megapixel
+    framebuffer measured ~10 ms/iteration; the dense flush is ~0.1 — and one
+    inverse scatter at the end restores pixel order.
+
+    ``num_slots`` trades per-iteration efficiency against drain-tail
+    occupancy: smaller pools give each slot a longer work stream, which
+    amortizes the heavy tail of path lengths (glass TIR chains run to depth
+    30+). Measured on v5e at 1080p: 16k slots ≈ 2x the throughput of 256k.
+
+    The multi-chip production path is
+    :func:`pathtrace_tpu.parallel.sharding.render_pool_sharded`, which runs
+    :func:`_pool_loop` per device over a ``dp`` (pixel window) × ``sp``
+    (sample window) mesh.
+    """
+    num_pixels = width * height
+    return _pool_loop(
+        scene,
+        camera,
+        jnp.int32(0),
+        jnp.int32(sample_offset),
+        width=width,
+        height=height,
+        total_pixels=num_pixels,
+        local_pixels=num_pixels,
+        spp=spp,
+        integrator=integrator,
+        max_bounces=max_bounces,
+        num_slots=num_slots,
+        seed=seed,
+    )
+
+
 def ray_count(rays) -> int:
     """Exact traced-ray count from render_pool's ``(hi, lo)`` uint32 pair.
 
-    Accepts a plain scalar too (older checkpointed stats)."""
+    Accepts a plain scalar (older checkpointed stats) or an ``(..., 2)``
+    stack of per-device pairs (render_pool_sharded), summed exactly in
+    Python ints."""
     import numpy as np
 
     r = np.asarray(rays)
     if r.ndim == 0:
         return int(r)
-    return (int(r[0]) << 32) | int(r[1])
+    pairs = r.reshape(-1, 2)
+    return sum((int(hi) << 32) | int(lo) for hi, lo in pairs)

@@ -6,7 +6,13 @@ import numpy as np
 import pytest
 
 from pathtrace_tpu.models import scenes
-from pathtrace_tpu.parallel.sharding import frames_sharded, make_mesh, render_sharded
+from pathtrace_tpu.parallel.sharding import (
+    frames_sharded,
+    make_mesh,
+    render_pool_sharded,
+    render_sharded,
+)
+from pathtrace_tpu.pool import ray_count, render_pool
 from pathtrace_tpu.render import RenderConfig, render
 
 W = H = 32
@@ -46,6 +52,36 @@ def test_sharded_nonuniform_pixel_count(scene, camera):
     ref = np.asarray(render(scene, camera, cfg).image_sum)
     out = np.asarray(render_sharded(scene, camera, cfg, mesh).image_sum)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("dp,sp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_pool_sharded_matches_single_device(scene, camera, dp, sp):
+    """The *production* pool renderer sharded over any dp×sp mesh must trace
+    the identical sample set as the single-device pool: exact ray counts,
+    images equal up to float accumulation order (each pixel's samples flush
+    in a different interleaving per schedule)."""
+    kw = dict(width=W, height=H, spp=8, integrator="mis", max_bounces=6,
+              num_slots=64, seed=9)
+    ref_img, ref_rays, _ = render_pool(scene, camera, **kw)
+    ref = np.asarray(ref_img)
+    mesh = make_mesh(dp=dp, sp=sp)
+    img, rays, iters = render_pool_sharded(scene, camera, mesh=mesh, **kw)
+    assert ray_count(rays) == ray_count(ref_rays)
+    assert iters.shape == (dp, sp)
+    np.testing.assert_allclose(np.asarray(img), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pool_sharded_nondividing_pixels(scene, camera):
+    """Pixel count not divisible by dp (1024 pixels on 6 devices) pads the
+    last window; padding work items must not corrupt the image."""
+    mesh = make_mesh(jax.devices()[:6], dp=6, sp=1)
+    kw = dict(width=W, height=H, spp=4, integrator="mis", max_bounces=6,
+              num_slots=64, seed=2)
+    ref_img, ref_rays, _ = render_pool(scene, camera, **kw)
+    img, rays, _ = render_pool_sharded(scene, camera, mesh=mesh, **kw)
+    assert ray_count(rays) == ray_count(ref_rays)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_frames_batched_matches_per_frame_render(scene):
