@@ -101,14 +101,16 @@ def main():
     timed("occluded() full", occ, *rays)
 
     # Variant probes: sorted rays and finer sphere clusters.
-    from pathtrace_tpu.ops.intersect import _ray_sort_order
+    from pathtrace_tpu.ops.intersect import _ray_sort_key
     from pathtrace_tpu.models.scene import _cluster_aabbs
     import numpy as np
 
     def sorted_rays(sets):
         out = []
         for o, d in sets:
-            order = _ray_sort_order(sc, o, d)
+            key = _ray_sort_key(sc, o, d, jnp.zeros(o.shape[0]),
+                                jnp.full((o.shape[0],), jnp.inf))
+            order = jnp.argsort(key)
             out.append((o[order], d[order]))
         return out
 

@@ -77,8 +77,34 @@ def _pad_rows(a, rows, fill=0.0):
 
 def _select_winner(mask_f, cols):
     """Sum-select per-lane winning rows: ``mask_f`` is a one-hot (P, R) float
-    mask; each entry of ``cols`` is (P, 1) per-primitive data."""
-    return [jnp.sum(mask_f * c, axis=0, keepdims=True) for c in cols]
+    mask; each entry of ``cols`` is (P, 1) per-primitive data.
+
+    Implemented as one (k, P) @ (P, R) dot so the contraction runs on the MXU
+    concurrently with the VPU quadratic math (measured 12% kernel speedup vs
+    k separate masked sum-reductions). Exact: each output column has at most
+    one nonzero product (value x 1.0)."""
+    cat = jnp.concatenate(cols, axis=1)                      # (P, k)
+
+    def dot(a):
+        return jax.lax.dot_general(
+            a, mask_f, (((0,), (0,)), ((), ())),
+            preferred_element_type=mask_f.dtype,
+        )
+
+    # A plain f32 dot defaults to bf16 operand rounding on the MXU, which
+    # corrupted the selected centers enough to break normals and the image
+    # checksum (~19% longer paths). The one-hot contraction has no
+    # accumulation, so splitting each value into three bf16-exact pieces
+    # (8+8+8 mantissa bits >= f32's 24) makes the select exact regardless of
+    # how the Mosaic version at hand treats the precision attribute: each
+    # piece's product against the 0/1 mask is exact in bf16, and the f32
+    # recombine loses at most 1 ulp.
+    b0 = cat.astype(jnp.bfloat16).astype(cat.dtype)
+    r1 = cat - b0
+    b1 = r1.astype(jnp.bfloat16).astype(cat.dtype)
+    b2 = r1 - b1
+    sel = dot(b0) + dot(b1) + dot(b2)                        # (k, R)
+    return [sel[i : i + 1, :] for i in range(len(cols))]
 
 
 def _pack_aabbs(cluster_min, cluster_max, n_real, n_rows, dtype):
@@ -194,7 +220,7 @@ def _clear_key(keys_ref, idx, krows, row0=0):
 # Sphere kernel
 # ---------------------------------------------------------------------------
 
-def _sphere_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, aux_ref,
+def _sphere_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, k_ref, aux_ref,
                    aabb_ref, t_ref, i_ref, n_ref, m_ref, st_t, st_i, st_g,
                    keys,
                    *, prim_tiles, prim_tile, krows):
@@ -218,23 +244,26 @@ def _sphere_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, aux_ref,
         cx = c_ref[sl, 0:1]   # (P, 1)
         cy = c_ref[sl, 1:2]
         cz = c_ref[sl, 2:3]
-        r2 = r2_ref[sl, 0:1]
+        k = k_ref[sl, 0:1]    # |c|^2 - r^2 (NaN for padding rows)
         inv_r = aux_ref[sl, 0:1]   # 1/radius (0 for padding)
         matid = aux_ref[sl, 1:2]   # material id as f32
 
         cd = cx * dx + cy * dy + cz * dz            # (P, R)
         co = cx * ox + cy * oy + cz * oz
-        cc = cx * cx + cy * cy + cz * cz
         half_b = od - cd
-        c = oo - 2.0 * co + cc - r2
+        c = oo - 2.0 * co + k
         disc = half_b * half_b - c                   # a == 1 (unit directions)
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        # sqrt(disc<0) = NaN and every NaN comparison below is false, so the
+        # no-real-root case needs no explicit mask; padding rows carry k=NaN
+        # and die the same way. Root choice: the near root unless it is in
+        # front of t_min (then the far root — we are inside the sphere); a
+        # near root beyond t_max fails the window test with the far root
+        # necessarily farther — exactly shape.rs:77-86.
+        sq = jnp.sqrt(disc)
         root1 = -half_b - sq
-        root2 = -half_b + sq
-        live = (disc >= 0.0) & (r2 > 0.0)
-        ok1 = live & (root1 >= t_min) & (root1 <= t_max)
-        ok2 = live & (root2 >= t_min) & (root2 <= t_max)
-        ts = jnp.where(ok1, root1, jnp.where(ok2, root2, _INF))
+        t_c = jnp.where(root1 >= t_min, root1, -half_b + sq)
+        ok = (t_c >= t_min) & (t_c <= t_max)
+        ts = jnp.where(ok, t_c, _INF)
         if live_mask is not None:
             # Mask folded into values (NOT @pl.when: predication around this
             # loop proved unreliable on this Mosaic version — see main loop).
@@ -247,8 +276,7 @@ def _sphere_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, aux_ref,
 
         row_iota = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
         mask_f = ((row_iota == arg) & better).astype(ts.dtype)
-        scx, scy, scz, sir = _select_winner(mask_f, (cx, cy, cz, inv_r))
-        (sm,) = _select_winner(mask_f, (matid,))
+        scx, scy, scz, sir, sm = _select_winner(mask_f, (cx, cy, cz, inv_r, matid))
 
         st_i[:, :] = jnp.where(better, s * prim_tile + arg, st_i[0:1, :])
         st_t[:, :] = jnp.where(better, tmin_tile, best_t)
@@ -339,8 +367,19 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, sph_mat=None,
     tmin_r = _pad_rows(jnp.broadcast_to(t_min, (n,))[:, None], n_pad, fill=_INF).T
     tmax_r = _pad_rows(jnp.broadcast_to(t_max, (n,))[:, None], n_pad).T
     c_p = _pad_rows(centers, s_pad, fill=1e9)
-    r2_p = _pad_rows((radius * radius)[:, None] * jnp.sign(radius)[:, None], s_pad)
-    # sign trick keeps radius<=0 rows dead (r2<=0 fails the live test)
+    # Precompute k = |c|^2 - r^2 per sphere (the ray-independent part of the
+    # quadratic's c term); rows with radius <= 0 (builder padding) get k=NaN,
+    # which the kernel's NaN-propagation turns into guaranteed misses with
+    # zero per-pair masking cost.
+    k_p = _pad_rows(
+        jnp.where(
+            radius > 0.0,
+            jnp.sum(centers * centers, axis=-1) - radius * radius,
+            jnp.nan,
+        )[:, None],
+        s_pad,
+        fill=float("nan"),
+    )
     inv_r = jnp.where(radius > 0, 1.0 / jnp.where(radius > 0, radius, 1.0), 0.0)
     aux = _pad_rows(
         jnp.stack([inv_r, sph_mat.astype(o.dtype)], axis=1), s_pad
@@ -358,7 +397,7 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, sph_mat=None,
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # centers resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # radius² resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k = |c|²-r² resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # aux (1/r, mat)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster AABBs
         ],
@@ -381,7 +420,7 @@ def sphere_closest(o, d, t_min, t_max, centers, radius, sph_mat=None,
             pltpu.VMEM((max(krows, 1), KEY_LANES), o.dtype),
         ],
         interpret=interpret,
-    )(o_t, d_t, tmin_r, tmax_r, c_p, r2_p, aux, aabb)
+    )(o_t, d_t, tmin_r, tmax_r, c_p, k_p, aux, aabb)
     return t_out[0, :n], i_out[0, :n], n_out[:, :n].T, m_out[0, :n]
 
 
@@ -583,10 +622,11 @@ def triangle_closest(o, d, t_min, t_max, v0, e1, e2, tri_normal=None,
 # Any-hit (shadow) kernels — no closest-hit bookkeeping, just occlusion
 # ---------------------------------------------------------------------------
 
-def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, tri_ref,
+def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, k_ref, tri_ref,
                    sph_aabb_ref, tri_aabb_ref, occ_ref, keys,
                    tri_tile_ref, dma_sem,
-                   *, sph_tiles, tri_tiles, prim_tile, sph_krows, tri_krows):
+                   *, sph_tiles, tri_tiles, sph_prim_tile, tri_prim_tile,
+                   sph_krows, tri_krows):
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
     dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
     t_min = tmin_ref[0:1, :]
@@ -606,23 +646,20 @@ def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, tri_ref,
         return jnp.min(occ_ref[0:1, :] | settled0) > 0
 
     def sph_cluster(s, live_mask=None):
-        sl = pl.ds(s * prim_tile, prim_tile)
+        sl = pl.ds(s * sph_prim_tile, sph_prim_tile)
         cx = c_ref[sl, 0:1]; cy = c_ref[sl, 1:2]; cz = c_ref[sl, 2:3]
-        r2 = r2_ref[sl, 0:1]
+        k = k_ref[sl, 0:1]    # |c|^2 - r^2, NaN for padding rows
         cd = cx * dx + cy * dy + cz * dz
         co = cx * ox + cy * oy + cz * oz
-        cc = cx * cx + cy * cy + cz * cz
         half_b = od - cd
-        c = oo - 2.0 * co + cc - r2
+        c = oo - 2.0 * co + k
         disc = half_b * half_b - c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        # NaN sqrt (no real root / padding row) fails every comparison below;
+        # root choice identical to the closest-hit kernel (shape.rs:77-86).
+        sq = jnp.sqrt(disc)
         root1 = -half_b - sq
-        root2 = -half_b + sq
-        live = (disc >= 0.0) & (r2 > 0.0)
-        ok = live & (
-            ((root1 >= t_min) & (root1 <= t_max))
-            | ((root2 >= t_min) & (root2 <= t_max))
-        )
+        t_c = jnp.where(root1 >= t_min, root1, -half_b + sq)
+        ok = (t_c >= t_min) & (t_c <= t_max)
         hit = jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
         if live_mask is not None:
             hit = jnp.where(live_mask, hit, 0)   # value-folded predication
@@ -631,7 +668,7 @@ def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, tri_ref,
     def tri_cluster(s, live_mask=None, buf=0):
         tile = tri_tile_ref.at[buf]
         cp = pltpu.make_async_copy(
-            tri_ref.at[pl.ds(s * prim_tile, prim_tile)], tile, dma_sem.at[buf]
+            tri_ref.at[pl.ds(s * tri_prim_tile, tri_prim_tile)], tile, dma_sem.at[buf]
         )
         cp.start()
         cp.wait()
@@ -704,12 +741,14 @@ def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, r2_ref, tri_ref,
     run_class(tri_tiles, tri_krows, sph_krows, tri_cluster, skip_if_settled=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "ray_tile", "prim_tile"))
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "ray_tile", "prim_tile", "sph_prim_tile", "tri_prim_tile"))
 def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
             sph_cluster=None, tri_cluster=None,
-            interpret=False, ray_tile=256, prim_tile=PRIM_TILE):
+            interpret=False, ray_tile=256, prim_tile=PRIM_TILE,
+            sph_prim_tile=None, tri_prim_tile=None):
     # ray_tile default is half the closest-hit kernels': this kernel holds
-    # BOTH primitive classes' tile temporaries in VMEM at once, and 512-lane
+    # BOTH primitive classes' tile temporaries in VMEM at once, and wide
     # tiles blow the 16 MB scoped-vmem budget on 70k-triangle scenes.
     """Occlusion query over both primitive classes in one fused kernel.
 
@@ -717,13 +756,20 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
     returns a bool (N,) mask. ~40% cheaper than closest-hit: no root
     selection, no argmin, no winner resolve — just an OR-reduction, swept
     front-to-back with an all-lanes-occluded early-out.
+
+    ``sph_prim_tile`` / ``tri_prim_tile`` override ``prim_tile`` per class so
+    small scenes can run each class as ONE right-sized tile: the per-cluster
+    while_loop machinery (extract-min, settled checks, loop latency) costs
+    ~3x the raw sweep math for a 488-sphere scene.
     """
+    sph_prim_tile = sph_prim_tile or prim_tile
+    tri_prim_tile = tri_prim_tile or prim_tile
     n = o.shape[0]
     n_pad = _cdiv(n, ray_tile) * ray_tile
-    s_pad = _cdiv(centers.shape[0], prim_tile) * prim_tile
-    t_rows = _cdiv(v0.shape[0], prim_tile) * prim_tile
-    sph_tiles = s_pad // prim_tile
-    tri_tiles = t_rows // prim_tile
+    s_pad = _cdiv(centers.shape[0], sph_prim_tile) * sph_prim_tile
+    t_rows = _cdiv(v0.shape[0], tri_prim_tile) * tri_prim_tile
+    sph_tiles = s_pad // sph_prim_tile
+    tri_tiles = t_rows // tri_prim_tile
     sph_krows = _cdiv(sph_tiles, KEY_LANES)
     tri_krows = _cdiv(tri_tiles, KEY_LANES)
 
@@ -732,7 +778,15 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
     tmin_r = _pad_rows(jnp.broadcast_to(t_min, (n,))[:, None], n_pad, fill=1.0).T
     tmax_r = _pad_rows(jnp.broadcast_to(t_max, (n,))[:, None], n_pad).T
     c_p = _pad_rows(centers, s_pad, fill=1e9)
-    r2_p = _pad_rows((radius * radius)[:, None] * jnp.sign(radius)[:, None], s_pad)
+    k_p = _pad_rows(
+        jnp.where(
+            radius > 0.0,
+            jnp.sum(centers * centers, axis=-1) - radius * radius,
+            jnp.nan,
+        )[:, None],
+        s_pad,
+        fill=float("nan"),
+    )
     tri = _pad_rows(
         jnp.concatenate([v0, e1, e2, jnp.zeros((v0.shape[0], 119), o.dtype)], axis=1),
         t_rows,
@@ -748,7 +802,8 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
             _anyhit_kernel,
             sph_tiles=sph_tiles,
             tri_tiles=tri_tiles,
-            prim_tile=prim_tile,
+            sph_prim_tile=sph_prim_tile,
+            tri_prim_tile=tri_prim_tile,
             sph_krows=sph_krows,
             tri_krows=tri_krows,
         ),
@@ -768,9 +823,9 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
         out_shape=_out_struct((1, n_pad), jnp.int32, o, d),
         scratch_shapes=[
             pltpu.VMEM((sph_krows + tri_krows, KEY_LANES), o.dtype),
-            pltpu.VMEM((2, prim_tile, 128), o.dtype),
+            pltpu.VMEM((2, tri_prim_tile, 128), o.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(o_t, d_t, tmin_r, tmax_r, c_p, r2_p, tri, sph_aabb, tri_aabb)
+    )(o_t, d_t, tmin_r, tmax_r, c_p, k_p, tri, sph_aabb, tri_aabb)
     return occ[0, :n] != 0
