@@ -10,7 +10,7 @@ parallelism across TPU meshes.
 
 from .integrators import trace_wave
 from .models.camera import Camera
-from .models.materials import Emissive, Lambertian, Mirror, OrenNayar
+from .models.materials import Emissive, Lambertian, Mirror, OrenNayar, PBRMaterial
 from .models.scene import Scene, SceneBuilder
 from .render import RenderConfig, RenderState, render, to_srgb_u8
 
@@ -22,6 +22,7 @@ __all__ = [
     "Lambertian",
     "Mirror",
     "OrenNayar",
+    "PBRMaterial",
     "RenderConfig",
     "RenderState",
     "Scene",

@@ -20,6 +20,7 @@ KIND_LAMBERT = 0
 KIND_EMISSIVE = 1
 KIND_MIRROR = 2
 KIND_OREN_NAYAR = 3
+KIND_PBR = 4
 
 
 @dataclass(frozen=True)
@@ -56,16 +57,30 @@ class OrenNayar:
     roughness: float
 
 
-# Note on reference coverage: the reference also contains a `PBRMaterial`
-# (Fresnel-blended Mirror + OrenNayar uber-material, material.rs:298-389) that
-# is dead code upstream — private fields, no constructor, never exported or
-# instantiated (SURVEY.md §2). It is intentionally not replicated; its
-# constituents (Mirror, OrenNayar) are both first-class lanes here, and a
-# layered uber-material would be a straightforward blend of the two
-# lanes' samples/pdfs if ever needed.
+@dataclass(frozen=True)
+class PBRMaterial:
+    """Fresnel-blended specular (GGX Mirror) + diffuse (Oren–Nayar)
+    uber-material (material.rs:298-389).
+
+    Upstream this is dead code — private fields, no constructor, never
+    exported or instantiated — and its sampling path delegates to
+    ``Mirror::sample_direction``, which is an explicit stub returning the
+    normal (mirror.rs:307-315). This lane implements the evidently intended
+    semantics: the *evaluation* follows material.rs:311-355 term-for-term
+    (Fresnel-weighted BRDF sum, kd energy conservation, normalized pdf
+    blend), and the specular *sample* is the proper GGX VNDF reflection the
+    stub stood in for. ``albedo`` serves as both the specular tint
+    (``specular.color``) and the diffuse color (``diffuse.albedo``) — the
+    dead upstream struct permits distinct values but nothing constructs one.
+    """
+
+    albedo: Color
+    roughness: float
+    metallic: float = 0.0
+    ior: float = 1.5
 
 
-Material = Lambertian | Emissive | Mirror | OrenNayar
+Material = Lambertian | Emissive | Mirror | OrenNayar | PBRMaterial
 
 
 def material_row(m: Material):
@@ -79,6 +94,8 @@ def material_row(m: Material):
         return (KIND_MIRROR, m.color, (0.0, 0.0, 0.0), m.roughness, m.metallic, m.ior)
     if isinstance(m, OrenNayar):
         return (KIND_OREN_NAYAR, m.albedo, (0.0, 0.0, 0.0), m.roughness, 0.0, 1.0)
+    if isinstance(m, PBRMaterial):
+        return (KIND_PBR, m.albedo, (0.0, 0.0, 0.0), m.roughness, m.metallic, m.ior)
     raise TypeError(f"unknown material {m!r}")
 
 

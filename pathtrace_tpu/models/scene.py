@@ -105,6 +105,9 @@ class Scene:
     num_tris: int = struct.field(pytree_node=False)
     num_spheres: int = struct.field(pytree_node=False)
     num_lights: int = struct.field(pytree_node=False)
+    # Static: does any material use the PBR uber-lane? Scenes without one
+    # (including every reference scene) skip that lane's math entirely.
+    has_pbr: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_prims(self) -> int:
@@ -284,4 +287,5 @@ class SceneBuilder:
             num_tris=num_tris,
             num_spheres=num_sphs,
             num_lights=num_lights,
+            has_pbr=any(isinstance(m, mat.PBRMaterial) for m in mats),
         )

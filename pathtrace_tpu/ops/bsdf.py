@@ -287,6 +287,96 @@ def _eval_mirror(m, i, o, normal, eta):
     return bsdf, pdf
 
 
+def _pbr_weights(m, f_avg):
+    """Specular/diffuse technique weights of the PBR blend
+    (material.rs:344-348): specular by mean Fresnel, diffuse by what Fresnel
+    lets through on the non-metallic fraction."""
+    sw = f_avg
+    dw = (1.0 - f_avg) * (1.0 - m["metallic"])
+    return sw, dw
+
+
+def _eval_pbr(m, i, o, normal):
+    """PBRMaterial::bsdf_pdf (material.rs:311-355): specular GGX reflection
+    (delegating to the Mirror BRDF branch, mirror.rs:62-88) plus Oren–Nayar
+    diffuse scaled by the kd energy-conservation factor, with the pdf a
+    Fresnel-weighted blend of the two techniques' pdfs."""
+    alpha = m["roughness"] * m["roughness"]
+    alpha2 = alpha * alpha
+
+    # Specular: Mirror's reflection-only eval (mirror.rs:62-88).
+    h = vec.normalize(i + o)
+    n_h = vec.dot(normal, h)
+    d_ggx = _ggx_d(alpha2, n_h)
+    cos_i = jnp.maximum(vec.dot(i, normal), 0.0)
+    cos_o = jnp.maximum(vec.dot(o, normal), 0.0)
+    g2 = _smith_g2(alpha2, cos_i, cos_o)
+    cos_f = jnp.maximum(vec.dot(i, h), 0.0)
+    f = _fresnel(m["color"], m["metallic"], m["ior"], cos_f)
+    spec_brdf = f * (d_ggx * g2 / (4.0 * cos_i * cos_o))[:, None]
+    spec_pdf = d_ggx * jnp.abs(n_h) / (4.0 * jnp.abs(vec.dot(i, h)))
+
+    # Diffuse: Oren–Nayar × kd (material.rs:332-341); metals don't diffuse.
+    diff_raw, diff_pdf = _eval_oren_nayar(m["color"], m["roughness"], i, o, normal)
+    kd = (1.0 - f) * (1.0 - m["metallic"])[:, None]
+    diff_brdf = jnp.where((m["metallic"] < 1.0)[:, None], diff_raw * kd, 0.0)
+
+    brdf = spec_brdf + diff_brdf
+    f_avg = jnp.mean(f, axis=-1)
+    sw, dw = _pbr_weights(m, f_avg)
+    tw = sw + dw
+    pdf = jnp.where(
+        tw > 1e-6, (sw * spec_pdf + dw * diff_pdf) / jnp.maximum(tw, 1e-6), spec_pdf
+    )
+    # Below-horizon queries (o·n <= 0, impossible for an opaque blend) can
+    # produce 0/0 above; zero them like the Mirror lane's guards.
+    bad = (cos_o <= 0.0) | ~jnp.all(jnp.isfinite(brdf), axis=-1) | ~jnp.isfinite(pdf)
+    brdf = jnp.where(bad[:, None], 0.0, brdf)
+    pdf = jnp.where(bad, 1.0, pdf)
+    return brdf, pdf
+
+
+def _sample_pbr(m, i, normal, r1, r2, u_coin, d_diff):
+    """PBRMaterial sampling (material.rs:358-388): a coin weighted by the
+    approximate Fresnel from the *incoming* angle picks specular vs diffuse,
+    then the default-impl semantics evaluate the blended bsdf_pdf at the
+    sampled direction (material.rs:29-40, cos clamped >= 0).
+
+    Upstream the specular branch delegates to ``Mirror::sample_direction``,
+    which is an explicit dummy returning the normal (mirror.rs:307-315) —
+    the material is dead code. This lane substitutes the evidently intended
+    GGX VNDF reflection sample; the diffuse branch reuses the shared
+    cosine-hemisphere sample ``d_diff`` (material.rs:267-295).
+    """
+    cos_i = jnp.maximum(vec.dot(i, normal), 0.0)
+    f0s = jnp.where(
+        m["metallic"] > 0.5, jnp.mean(m["color"], axis=-1), 0.04
+    )
+    f_approx = f0s + (1.0 - f0s) * (1.0 - cos_i) ** 5
+    sw, dw = _pbr_weights(m, f_approx)
+    tw = sw + dw
+    p_spec = jnp.where(tw > 1e-6, sw / jnp.maximum(tw, 1e-6), 1.0)
+    use_spec = u_coin < p_spec
+
+    h = sample_ggx_vndf(i, normal, m["roughness"], r1, r2)
+    o_spec = vec.normalize(2.0 * vec.dot(i, h)[:, None] * h - i)
+
+    o = jnp.where(use_spec[:, None], o_spec, d_diff)
+    bsdf, pdf = _eval_pbr(m, i, o, normal)
+    cos = jnp.maximum(vec.dot(o, normal), 0.0)
+
+    bad = (
+        ~jnp.all(jnp.isfinite(bsdf), axis=-1)
+        | ~jnp.isfinite(pdf)
+        | (pdf <= 0.0)
+    )
+    o = jnp.where(bad[:, None], normal, o)
+    bsdf = jnp.where(bad[:, None], 0.0, bsdf)
+    pdf = jnp.where(bad, 1.0, pdf)
+    cos = jnp.where(bad, 0.0, cos)
+    return o, bsdf, pdf, cos
+
+
 def eval_bsdf(scene: Scene, mid, i, eta, o, normal, params: MatParams | None = None):
     """``Material::bsdf_pdf`` for a wave: returns ``(bsdf (N,3), pdf (N,))``.
 
@@ -325,6 +415,11 @@ def eval_bsdf(scene: Scene, mid, i, eta, o, normal, params: MatParams | None = N
             jnp.where(kind == mat.KIND_MIRROR, mir_pdf, 1.0),
         ),
     )
+    if scene.has_pbr:  # static: scenes without the lane skip its math
+        pbr_bsdf, pbr_pdf = _eval_pbr(m, i, o, normal)
+        is_pbr = kind == mat.KIND_PBR
+        bsdf = jnp.where(is_pbr[:, None], pbr_bsdf, bsdf)
+        pdf = jnp.where(is_pbr, pbr_pdf, pdf)
     return bsdf, pdf
 
 
@@ -434,6 +529,16 @@ def sample_bsdf(scene: Scene, mid, i, eta, normal, r1, r2, u_coin,
     )
     pdf = jnp.where(is_mirror, mir_pdf, jnp.where(is_on, on_pdf, lam_pdf))
     cos = jnp.where(is_mirror, mir_cos, cos_diff)
+
+    if scene.has_pbr:  # static: scenes without the lane skip its math
+        pbr_o, pbr_bsdf, pbr_pdf, pbr_cos = _sample_pbr(
+            m, i, normal, r1, r2, u_coin, d_diff
+        )
+        is_pbr = kind == mat.KIND_PBR
+        o = jnp.where(is_pbr[:, None], pbr_o, o)
+        bsdf = jnp.where(is_pbr[:, None], pbr_bsdf, bsdf)
+        pdf = jnp.where(is_pbr, pbr_pdf, pdf)
+        cos = jnp.where(is_pbr, pbr_cos, cos)
 
     # Emissive is terminal: dummy direction, zero BSDF (material.rs:139-158).
     o = jnp.where(is_emis[:, None], normal, o)
