@@ -597,4 +597,54 @@ void pt_render(const double *tri_v0, const double *tri_e1, const double *tri_e2,
   }
 }
 
+// Windowed render: the [x0, x0+win_w) x [y0, y0+win_h) sub-rectangle of a
+// full_w x full_h frame, with per-pixel seeding and the u/v mapping taken
+// from the GLOBAL pixel coordinates — a window render is bitwise equal to
+// the same region of the full-frame render. Used by the single-pixel
+// ground-truth anchors (tests/test_parity.py), which would otherwise need a
+// full 400x400 oracle pass per assertion.
+void pt_render_window(const double *tri_v0, const double *tri_e1, const double *tri_e2,
+                      const int *tri_mat, int num_tris, const double *sph_c,
+                      const double *sph_r, const int *sph_mat, int num_sphs,
+                      const int *mat_kind, const double *mat_color,
+                      const double *mat_emission, const double *mat_rough,
+                      const double *mat_metal, const double *mat_ior, int num_mats,
+                      const int *light_prims, int num_lights, const double *cam,
+                      int full_w, int full_h, int x0, int y0, int win_w, int win_h,
+                      int spp, int integrator, unsigned long long seed,
+                      double *out_image /* win_h*win_w*3 */) {
+  (void)num_mats;
+  Scene s{tri_v0, tri_e1,  tri_e2,  tri_mat,  num_tris,  sph_c,       sph_r,
+          sph_mat, num_sphs, mat_kind, mat_color, mat_emission, mat_rough,
+          mat_metal, mat_ior, light_prims, num_lights};
+  V3 origin = {cam[0], cam[1], cam[2]};
+  V3 llc = {cam[3], cam[4], cam[5]};
+  V3 horiz = {cam[6], cam[7], cam[8]};
+  V3 vert = {cam[9], cam[10], cam[11]};
+
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int wy = 0; wy < win_h; wy++) {
+    for (int wx = 0; wx < win_w; wx++) {
+      int x = x0 + wx;
+      int y = y0 + wy;
+      Rng rng(seed ^ (((uint64_t)y << 32) | (uint64_t)x));
+      V3 acc = v3(0, 0, 0);
+      int yf = full_h - 1 - y;
+      for (int samp = 0; samp < spp; samp++) {
+        double u = (x + rng.uniform()) / (double)(full_w - 1);
+        double v = (yf + rng.uniform()) / (double)(full_h - 1);
+        V3 dir = llc + horiz * u + vert * v - origin;
+        Ray ray{origin, norm(dir), 1.0};
+        V3 c = ray_color(s, ray, 0, rng, v3(1, 1, 1), integrator);
+        acc = acc + c;
+      }
+      acc = acc / (double)spp;
+      int idx = (wy * win_w + wx) * 3;
+      out_image[idx] = acc.x;
+      out_image[idx + 1] = acc.y;
+      out_image[idx + 2] = acc.z;
+    }
+  }
+}
+
 }  // extern "C"
