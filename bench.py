@@ -30,7 +30,7 @@ if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from pathtrace_tpu.models import scenes  # noqa: E402
-from pathtrace_tpu.pool import ray_count, render_pool  # noqa: E402
+from pathtrace_tpu.pool import busy_count, ray_count, render_pool  # noqa: E402
 
 TARGET_MRAYS = 500.0
 
@@ -84,6 +84,9 @@ def main():
             "spp_per_sec": round(spp / dt, 4),
             "total_rays": nrays,
             "pool_iterations": int(iters),
+            "occupancy": round(
+                busy_count(rays) / max(int(iters) * min(slots, width * height), 1), 4
+            ),
             "wall_s": round(dt, 3),
             "image_checksum": round(total, 2),
         },

@@ -326,6 +326,12 @@ def intersect(
       * ``"pallas"`` — fused TPU kernels (ops/pallas_intersect.py): ray tiles
         resident in VMEM, primitive soup streamed on-chip, no HBM temps.
         The production path (~2.5-5x the jnp broadcast).
+      * ``"binned"`` — pallas, but triangles traverse with per-RAY
+        front-to-back cluster order (ops/binned_intersect.py): each round
+        sorts the wave by every ray's nearest unvisited cluster. Exact same
+        hits; measured 1.3x the per-tile kernels on pure surface-origin
+        bounce waves of the 70k-tri scene (opt-in: costs 3 extra kernel
+        compiles and only pays on large incoherent meshes).
       * ``"bruteforce"`` — (N, tile) jnp broadcasts reduced under lax.scan.
       * ``"mxu"`` — matmul formulation. Kept as an experiment: its K=3
         matmuls underutilize the systolic array and compile slowly at
@@ -334,6 +340,9 @@ def intersect(
     """
     if method == "auto":
         method = default_method()
+    binned = method in ("binned", "binned_interpret")
+    if binned:
+        method = "pallas" if method == "binned" else "pallas_interpret"
     n = o.shape[0]
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, o.dtype), (n,))
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, o.dtype), (n,))
@@ -347,7 +356,7 @@ def intersect(
 
         interp = method == "pallas_interpret"
         if sort_rays is None:
-            sort_rays = t_rows_real >= RAY_SORT_MIN_TRIS
+            sort_rays = (not binned) and t_rows_real >= RAY_SORT_MIN_TRIS
         idx = None
         o0, d0 = o, d
         if sort_rays:
@@ -366,6 +375,15 @@ def intersect(
         tri_small = t_rows_real <= 64
         sph_small = s_rows <= 512
         def run_tri(tmax):
+            if binned and not tri_small:
+                from . import binned_intersect as bn
+
+                return bn.triangle_closest_binned(
+                    o, d, t_min_b, tmax, scene.tri_v0, scene.tri_e1,
+                    scene.tri_e2, scene.tri_normal, scene.tri_mat,
+                    scene.tri_cluster_min, scene.tri_cluster_max,
+                    interpret=interp,
+                )
             return pk.triangle_closest(
                 o, d, t_min_b, tmax, scene.tri_v0, scene.tri_e1, scene.tri_e2,
                 scene.tri_normal, scene.tri_mat,
@@ -482,6 +500,9 @@ def occluded(
     """
     if method == "auto":
         method = default_method()
+    binned = method in ("binned", "binned_interpret")
+    if binned:
+        method = "pallas" if method == "binned" else "pallas_interpret"
     if method in ("pallas", "pallas_interpret"):
         from . import pallas_intersect as pk
 
@@ -492,7 +513,7 @@ def occluded(
         s_rows = scene.sph_center.shape[0]
         from ..models.scene import SPH_CLUSTER_SIZE
         idx = None
-        if t_rows_real >= RAY_SORT_MIN_TRIS:
+        if (not binned) and t_rows_real >= RAY_SORT_MIN_TRIS:
             key = _ray_sort_key(scene, o, d, t_min_b, t_max_b)
             o, d, t_min_b, t_max_b, idx = _sort_rays_by_key(
                 key, o, d, t_min_b, t_max_b
@@ -513,6 +534,26 @@ def occluded(
             None if tri_onetile
             else (scene.tri_cluster_min, scene.tri_cluster_max)
         )
+        if binned and not tri_onetile:
+            from . import binned_intersect as bn
+
+            tri_occ = bn.triangle_anyhit_binned(
+                o, d, t_min_b, t_max_b, scene.tri_v0, scene.tri_e1,
+                scene.tri_e2, scene.tri_cluster_min, scene.tri_cluster_max,
+                interpret=method == "pallas_interpret",
+            )
+            zero3 = jnp.zeros((1, 3), o.dtype)  # spheres only: dead tri row
+            sph_occ = pk.any_hit(
+                o, d, t_min_b, t_max_b,
+                scene.sph_center, scene.sph_radius,
+                zero3, zero3, zero3,
+                sph_cluster=sph_cluster,
+                sph_prim_tile=sph_prim_tile,
+                tri_prim_tile=8,
+                ray_tile=1024,
+                interpret=method == "pallas_interpret",
+            )
+            return tri_occ | sph_occ
         occ = pk.any_hit(
             o, d, t_min_b, t_max_b,
             scene.sph_center, scene.sph_radius,

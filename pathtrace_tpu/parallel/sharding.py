@@ -189,9 +189,10 @@ def render_pool_sharded(
     synchronization until the final psum, so load imbalance costs only the
     tail, not lockstep stalls.
 
-    Returns ``(image_sum (H*W, 3), rays (dp, sp, 2) uint32 hi/lo pairs,
-    iters (dp, sp))``; decode/aggregate rays with
-    :func:`pathtrace_tpu.pool.ray_count`.
+    Returns ``(image_sum (H*W, 3), counters (dp, sp, 4) uint32
+    (rays_hi, rays_lo, busy_hi, busy_lo), iters (dp, sp))``;
+    decode/aggregate with :func:`pathtrace_tpu.pool.ray_count` /
+    :func:`pathtrace_tpu.pool.busy_count`.
     """
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]

@@ -80,6 +80,10 @@ class _PoolState(NamedTuple):
     # an int32; JAX's default no-x64 mode rules out a plain int64 scalar.
     rays_lo: jnp.ndarray    # scalar uint32
     rays_hi: jnp.ndarray    # scalar uint32
+    # Busy-slot counter (same hi/lo encoding): occupancy diagnostics —
+    # busy / (iters * S) is the pool's utilization including the drain tail.
+    busy_lo: jnp.ndarray    # scalar uint32
+    busy_hi: jnp.ndarray    # scalar uint32
 
 
 def _per_slot_uniforms(keys, bounces, dtype):
@@ -173,6 +177,8 @@ def _pool_loop(
         iters=jnp.int32(0) + izero,
         rays_lo=jnp.uint32(0) + izero.astype(jnp.uint32),
         rays_hi=jnp.uint32(0) + izero.astype(jnp.uint32),
+        busy_lo=jnp.uint32(0) + izero.astype(jnp.uint32),
+        busy_hi=jnp.uint32(0) + izero.astype(jnp.uint32),
     )
 
     def cond(s: _PoolState):
@@ -323,10 +329,12 @@ def _pool_loop(
         )
 
         # ---- Continue surviving paths ----
-        rays_inc = jnp.sum(busy.astype(jnp.uint32)) + (
+        busy_inc = jnp.sum(busy.astype(jnp.uint32))
+        rays_inc = busy_inc + (
             jnp.sum(shade.astype(jnp.uint32)) if use_nee else jnp.uint32(0)
         )
         rays_lo = s.rays_lo + rays_inc  # uint32 wrap detected via carry below
+        busy_lo = s.busy_lo + busy_inc
         l2 = live[:, None]
         return _PoolState(
             pixel=pixel,
@@ -348,6 +356,8 @@ def _pool_loop(
             iters=s.iters + 1,
             rays_lo=rays_lo,
             rays_hi=s.rays_hi + (rays_lo < s.rays_lo).astype(jnp.uint32),
+            busy_lo=busy_lo,
+            busy_hi=s.busy_hi + (busy_lo < s.busy_lo).astype(jnp.uint32),
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -363,7 +373,10 @@ def _pool_loop(
     w_ids = jnp.arange(padded_pixels, dtype=jnp.uint32)
     dest = ((w_ids * jnp.uint32(perm)) % jnp.uint32(padded_pixels)).astype(jnp.int32)
     image_sum = jnp.zeros_like(flat).at[dest].set(flat)[:num_pixels]
-    return image_sum, jnp.stack([final.rays_hi, final.rays_lo]), final.iters
+    counters = jnp.stack(
+        [final.rays_hi, final.rays_lo, final.busy_hi, final.busy_lo]
+    )
+    return image_sum, counters, final.iters
 
 
 @partial(
@@ -388,9 +401,10 @@ def render_pool(
 ):
     """Render the full frame with a saturated path pool.
 
-    Returns ``(image_sum (H*W, 3), traced_rays, iterations)``; divide by spp
-    for mean radiance. ``traced_rays`` is a ``(2,)`` uint32 ``(hi, lo)`` pair
-    — decode with :func:`ray_count` — so the count stays exact past 2^32.
+    Returns ``(image_sum (H*W, 3), counters, iterations)``; divide by spp
+    for mean radiance. ``counters`` is a ``(4,)`` uint32
+    ``(rays_hi, rays_lo, busy_hi, busy_lo)`` stack — decode with
+    :func:`ray_count` / :func:`busy_count` — so both stay exact past 2^32.
 
     Work assignment is slot-strided: slot ``s`` owns exactly the work items
     ``w ≡ s (mod S)``, whose pixels are a coprime-stride permutation of the
@@ -429,15 +443,28 @@ def render_pool(
 
 
 def ray_count(rays) -> int:
-    """Exact traced-ray count from render_pool's ``(hi, lo)`` uint32 pair.
+    """Exact traced-ray count from render_pool's counter vector.
 
-    Accepts a plain scalar (older checkpointed stats) or an ``(..., 2)``
-    stack of per-device pairs (render_pool_sharded), summed exactly in
-    Python ints."""
+    Accepts a plain scalar (older checkpointed stats), an ``(..., 2)``
+    stack of ``(hi, lo)`` pairs (round-1 checkpoints), or the current
+    ``(..., 4)`` ``(rays_hi, rays_lo, busy_hi, busy_lo)`` stack — per-device
+    leading axes (render_pool_sharded) are summed exactly in Python ints."""
     import numpy as np
 
     r = np.asarray(rays)
     if r.ndim == 0:
         return int(r)
-    pairs = r.reshape(-1, 2)
-    return sum((int(hi) << 32) | int(lo) for hi, lo in pairs)
+    rows = r.reshape(-1, r.shape[-1])
+    return sum((int(row[0]) << 32) | int(row[1]) for row in rows)
+
+
+def busy_count(rays) -> int:
+    """Exact busy-slot-iteration count from the ``(..., 4)`` counter stack;
+    occupancy = busy_count / (pool iterations x slots)."""
+    import numpy as np
+
+    r = np.asarray(rays)
+    rows = r.reshape(-1, r.shape[-1])
+    if rows.shape[-1] < 4:
+        raise ValueError("busy counters absent (round-1 checkpoint format)")
+    return sum((int(row[2]) << 32) | int(row[3]) for row in rows)

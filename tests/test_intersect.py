@@ -116,3 +116,44 @@ def test_mxu_method_matches_bruteforce():
     np.testing.assert_array_equal(np.asarray(hb.prim), np.asarray(hm.prim))
     m = np.asarray(hb.valid)
     np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(hm.t)[m], rtol=1e-4)
+
+
+def test_binned_method_matches_bruteforce():
+    """Per-ray binned traversal (ops/binned_intersect.py) must produce the
+    identical closest hits and occlusion as the bruteforce scan — same MT
+    math, different traversal order (the TPU analog of the reference's
+    per-ray recursion, world.rs:270-290)."""
+    import jax
+    import numpy as np
+
+    from pathtrace_tpu.models import scenes
+
+    scene = scenes.mesh_scene(n_tris=2500)
+    key = jax.random.PRNGKey(9)
+    n = 4096  # exercises one cascade compaction (n // 4 < 4096)
+    lo = jnp.min(scene.tri_cluster_min, axis=0)
+    hi = jnp.max(scene.tri_cluster_max, axis=0)
+    o = jax.random.uniform(key, (n, 3)) * (hi - lo) + lo
+    d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    hb = intersect(scene, o, d, 1e-3, jnp.inf, method="bruteforce")
+    hp = intersect(scene, o, d, 1e-3, jnp.inf, method="binned_interpret")
+    np.testing.assert_array_equal(np.asarray(hp.prim), np.asarray(hb.prim))
+    v = np.asarray(hb.prim >= 0)
+    # Triangle t is bit-identical (same MT math); sphere lanes carry the
+    # pallas quadratic's k=|c|^2-r^2 association difference (~5e-4).
+    tri_lane = v & (np.asarray(hb.prim) < scene.tri_v0.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[tri_lane], np.asarray(hb.t)[tri_lane], rtol=0, atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[v], np.asarray(hb.t)[v], rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hp.front_face)[v], np.asarray(hb.front_face)[v]
+    )
+
+    ob = occluded(scene, o, d, 1e-3, 2.5, method="bruteforce")
+    op = occluded(scene, o, d, 1e-3, 2.5, method="binned_interpret")
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
