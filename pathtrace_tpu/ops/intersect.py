@@ -210,9 +210,24 @@ def _closest_over_tiles(prim_arrays, hit_fn, o, d, t_min, t_max, tile, base_id):
     return best_t, best_p
 
 
+# Process-wide override for the "auto" method (None = platform default).
+# Set via set_default_method("binned") before tracing to route big-mesh
+# traversal through the per-ray binned kernels everywhere (pool included).
+_METHOD_OVERRIDE: str | None = None
+
+
+def set_default_method(method: str | None) -> None:
+    """Override what ``method="auto"`` resolves to (None restores the
+    platform default). Must be called before the renderers are traced."""
+    global _METHOD_OVERRIDE
+    _METHOD_OVERRIDE = method
+
+
 def default_method() -> str:
     """Pallas kernels on real accelerators; jnp broadcast on CPU (where the
     Pallas interpreter would be the slow path)."""
+    if _METHOD_OVERRIDE is not None:
+        return _METHOD_OVERRIDE
     return "pallas" if jax.default_backend() != "cpu" else "bruteforce"
 
 
