@@ -418,6 +418,35 @@ def intersect(
                 interpret=interp,
             )
 
+        if tri_small and sph_small:
+            # Small scenes: one fused kernel resolves both classes and the
+            # winner in a single pass — saves a dispatch, the XLA merge
+            # selects, and a duplicate set of transposed ray inputs
+            # (measured ~12% of the bench-scene pool iteration).
+            t, prim, outward, mat = pk.combined_closest_small(
+                o, d, t_min_b, t_max_b,
+                scene.sph_center, scene.sph_radius, scene.sph_mat,
+                scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                scene.tri_normal, scene.tri_mat,
+                num_tris=t_rows_real,
+                interpret=interp,
+            )
+            if idx is not None:
+                t, prim, outward, mat = _unsort(idx, t, prim, outward, mat)
+            valid = prim >= 0
+            mat = jnp.where(valid, mat, 0)
+            point = o0 + d0 * jnp.where(valid, t, 0.0)[:, None]
+            front_face = vec.dot(d0, outward) < 0.0
+            normal = jnp.where(front_face[:, None], outward, -outward)
+            return Hit(
+                t=jnp.where(valid, t, _INF),
+                prim=prim,
+                point=point,
+                normal=normal,
+                front_face=front_face,
+                mat=mat,
+            )
+
         # Run the smaller class first and cap the bigger kernel's t_max with
         # its per-ray results: a ground quad or sky dome bounds every ray,
         # which is what lets the bigger kernel's front-to-back early-out fire

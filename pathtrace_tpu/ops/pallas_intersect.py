@@ -829,3 +829,173 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
         interpret=interpret,
     )(o_t, d_t, tmin_r, tmax_r, c_p, k_p, tri, sph_aabb, tri_aabb)
     return occ[0, :n] != 0
+
+
+# ---------------------------------------------------------------------------
+# Fused small-scene closest-hit kernel: one pass over spheres AND triangles
+# ---------------------------------------------------------------------------
+
+def _combined_small_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, k_ref,
+                           aux_ref, tri_ref, t_ref, i_ref, n_ref, m_ref,
+                           *, num_tris):
+    """Closest hit over one right-sized sphere tile plus one small triangle
+    tile, fully resolved in-kernel (global prim id, outward normal, mat).
+
+    Small scenes (the default-spheres / many-spheres benches) previously paid
+    two kernel dispatches plus an XLA merge per trace; fused, the ray tile's
+    transposed inputs load once and the winner select runs once.
+    """
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+    t_min = tmin_ref[0:1, :]
+    t_max = tmax_ref[0:1, :]
+
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
+
+    # ---- Triangles (small tile; zero-edge padding rows self-reject) ----
+    v0x = tri_ref[:, 0:1]; v0y = tri_ref[:, 1:2]; v0z = tri_ref[:, 2:3]
+    e1x = tri_ref[:, 3:4]; e1y = tri_ref[:, 4:5]; e1z = tri_ref[:, 5:6]
+    e2x = tri_ref[:, 6:7]; e2y = tri_ref[:, 7:8]; e2z = tri_ref[:, 8:9]
+    tnx = tri_ref[:, 9:10]; tny = tri_ref[:, 10:11]; tnz = tri_ref[:, 11:12]
+    tmat = tri_ref[:, 12:13]
+
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    f = 1.0 / a
+    sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok = (
+        (jnp.abs(a) >= 1e-8)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= t_min) & (t <= t_max)
+    )
+    ts = jnp.where(ok, t, _INF)
+    tri_t = jnp.min(ts, axis=0, keepdims=True)
+    tri_arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
+    tri_hit = tri_t < _INF
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
+    mask_f = ((row_iota == tri_arg) & tri_hit).astype(ts.dtype)
+    snx, sny, snz, stm = _select_winner(mask_f, (tnx, tny, tnz, tmat))
+
+    # ---- Spheres (single right-sized tile, NaN-padded k) ----
+    cx = c_ref[:, 0:1]; cy = c_ref[:, 1:2]; cz = c_ref[:, 2:3]
+    k = k_ref[:, 0:1]
+    inv_r = aux_ref[:, 0:1]
+    smat = aux_ref[:, 1:2]
+    cd = cx * dx + cy * dy + cz * dz
+    co = cx * ox + cy * oy + cz * oz
+    half_b = od - cd
+    c = oo - 2.0 * co + k
+    disc = half_b * half_b - c
+    sq = jnp.sqrt(disc)
+    root1 = -half_b - sq
+    t_c = jnp.where(root1 >= t_min, root1, -half_b + sq)
+    oks = (t_c >= t_min) & (t_c <= jnp.minimum(t_max, tri_t))
+    tss = jnp.where(oks, t_c, _INF)
+    sph_t = jnp.min(tss, axis=0, keepdims=True)
+    sph_arg = jnp.argmin(tss, axis=0).astype(jnp.int32)[None, :]
+    sph_hit = sph_t < tri_t  # strictly closer than the triangle winner
+    rows = jax.lax.broadcasted_iota(jnp.int32, tss.shape, 0)
+    mask_s = ((rows == sph_arg) & sph_hit).astype(tss.dtype)
+    scx, scy, scz, sir, ssm = _select_winner(mask_s, (cx, cy, cz, inv_r, smat))
+
+    # ---- Merge (sphere wins ties broken toward triangles like the XLA
+    #      merge's sph_t < tri_t) ----
+    best_t = jnp.where(sph_hit, sph_t, tri_t)
+    hit = sph_hit | tri_hit
+    tt = jnp.where(hit, best_t, 0.0)
+    px = ox + tt * dx
+    py = oy + tt * dy
+    pz = oz + tt * dz
+    nx = jnp.where(sph_hit, (px - scx) * sir, snx)
+    ny = jnp.where(sph_hit, (py - scy) * sir, sny)
+    nz = jnp.where(sph_hit, (pz - scz) * sir, snz)
+    prim = jnp.where(
+        sph_hit, num_tris + sph_arg, jnp.where(tri_hit, tri_arg, -1)
+    )
+    mat = jnp.where(sph_hit, ssm, stm)
+
+    t_ref[:, :] = jnp.where(hit, best_t, _INF)
+    i_ref[:, :] = prim
+    n_ref[0:1, :] = nx
+    n_ref[1:2, :] = ny
+    n_ref[2:3, :] = nz
+    m_ref[:, :] = mat.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ray_tile", "num_tris"))
+def combined_closest_small(o, d, t_min, t_max, centers, radius, sph_mat,
+                           v0, e1, e2, tri_normal, tri_mat, num_tris,
+                           interpret=False, ray_tile=RAY_TILE):
+    """Fused closest hit for small scenes (spheres <= 512, tris <= 64).
+
+    Returns ``(t (N,), GLOBAL prim id (N,), outward normal (N,3), mat (N,))``
+    with triangles occupying ids [0, num_tris) and spheres above, matching
+    the scene's global-id convention (models/scene.py).
+    """
+    n = o.shape[0]
+    n_pad = _cdiv(n, ray_tile) * ray_tile
+    s_pad = _cdiv(centers.shape[0], 8) * 8
+    t_rows = _cdiv(v0.shape[0], 8) * 8
+
+    o_t = _pad_rows(o, n_pad).T
+    d_t = _pad_rows(d, n_pad, fill=1.0).T
+    tmin_r = _pad_rows(jnp.broadcast_to(t_min, (n,))[:, None], n_pad, fill=_INF).T
+    tmax_r = _pad_rows(jnp.broadcast_to(t_max, (n,))[:, None], n_pad).T
+    c_p = _pad_rows(centers, s_pad, fill=1e9)
+    k_p = _pad_rows(
+        jnp.where(
+            radius > 0.0,
+            jnp.sum(centers * centers, axis=-1) - radius * radius,
+            jnp.nan,
+        )[:, None],
+        s_pad,
+        fill=float("nan"),
+    )
+    inv_r = jnp.where(radius > 0, 1.0 / jnp.where(radius > 0, radius, 1.0), 0.0)
+    aux = _pad_rows(jnp.stack([inv_r, sph_mat.astype(o.dtype)], axis=1), s_pad)
+    tri = _pad_rows(
+        jnp.concatenate(
+            [v0, e1, e2, tri_normal, tri_mat.astype(o.dtype)[:, None]], axis=1
+        ),
+        t_rows,
+    )
+
+    grid = (n_pad // ray_tile,)
+    t_out, i_out, n_out, m_out = pl.pallas_call(
+        functools.partial(_combined_small_kernel, num_tris=num_tris),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            _out_struct((1, n_pad), o.dtype, o, d),
+            _out_struct((1, n_pad), jnp.int32, o, d),
+            _out_struct((3, n_pad), o.dtype, o, d),
+            _out_struct((1, n_pad), jnp.int32, o, d),
+        ],
+        interpret=interpret,
+    )(o_t, d_t, tmin_r, tmax_r, c_p, k_p, aux, tri)
+    return t_out[0, :n], i_out[0, :n], n_out[:, :n].T, m_out[0, :n]
