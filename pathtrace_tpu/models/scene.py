@@ -105,9 +105,15 @@ class Scene:
     num_tris: int = struct.field(pytree_node=False)
     num_spheres: int = struct.field(pytree_node=False)
     num_lights: int = struct.field(pytree_node=False)
-    # Static: does any material use the PBR uber-lane? Scenes without one
-    # (including every reference scene) skip that lane's math entirely.
+    # Static lane-presence flags: the masked-lane BSDF dispatch evaluates
+    # every lane for every ray, so scenes that lack a material kind skip
+    # that lane's math entirely at trace time. The Oren-Nayar lane is the
+    # expensive one to run for nothing (two atan2 + trig per ray, measured
+    # ~30% of the shading glue). Defaults are conservative (True) so
+    # hand-built Scene values keep every lane.
     has_pbr: bool = struct.field(pytree_node=False, default=False)
+    has_oren_nayar: bool = struct.field(pytree_node=False, default=True)
+    has_mirror: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def num_prims(self) -> int:
@@ -288,4 +294,8 @@ class SceneBuilder:
             num_spheres=num_sphs,
             num_lights=num_lights,
             has_pbr=any(isinstance(m, mat.PBRMaterial) for m in mats),
+            has_oren_nayar=any(
+                isinstance(m, (mat.OrenNayar, mat.PBRMaterial)) for m in mats
+            ),
+            has_mirror=any(isinstance(m, mat.Mirror) for m in mats),
         )

@@ -393,9 +393,19 @@ def eval_bsdf(scene: Scene, mid, i, eta, o, normal, params: MatParams | None = N
     )
     kind = m["kind"]
 
+    # Static lane gates: lanes absent from the scene's material table skip
+    # their math entirely (their kind selector can never be true).
+    use_on = getattr(scene, "has_oren_nayar", True)
+    use_mir = getattr(scene, "has_mirror", True)
+
     lam_bsdf, lam_pdf = _eval_lambert(m["color"], o, normal)
-    on_bsdf, on_pdf = _eval_oren_nayar(m["color"], m["roughness"], i, o, normal)
-    mir_bsdf, mir_pdf = _eval_mirror(m, i, o, normal, eta)
+    on_bsdf, on_pdf = (
+        _eval_oren_nayar(m["color"], m["roughness"], i, o, normal)
+        if use_on else (lam_bsdf, lam_pdf)
+    )
+    mir_bsdf, mir_pdf = (
+        _eval_mirror(m, i, o, normal, eta) if use_mir else (lam_bsdf, lam_pdf)
+    )
 
     bsdf = jnp.where(
         (kind == mat.KIND_LAMBERT)[:, None],
@@ -511,13 +521,22 @@ def sample_bsdf(scene: Scene, mid, i, eta, normal, r1, r2, u_coin,
     )
     kind = m["kind"]
 
+    use_on = getattr(scene, "has_oren_nayar", True)
+    use_mir = getattr(scene, "has_mirror", True)
+
     # Diffuse lanes share the cosine-weighted sample (material.rs:93-122, 267-295).
     d_diff = vec.cosine_hemisphere_direction(normal, r1, r2)
     lam_bsdf, lam_pdf = _eval_lambert(m["color"], d_diff, normal)
-    on_bsdf, on_pdf = _eval_oren_nayar(m["color"], m["roughness"], i, d_diff, normal)
+    on_bsdf, on_pdf = (
+        _eval_oren_nayar(m["color"], m["roughness"], i, d_diff, normal)
+        if use_on else (lam_bsdf, lam_pdf)
+    )
     cos_diff = jnp.maximum(vec.dot(d_diff, normal), 0.0)
 
-    mir_o, mir_bsdf, mir_pdf, mir_cos = _sample_mirror(m, i, normal, eta, r1, r2, u_coin)
+    mir_o, mir_bsdf, mir_pdf, mir_cos = (
+        _sample_mirror(m, i, normal, eta, r1, r2, u_coin)
+        if use_mir else (d_diff, lam_bsdf, lam_pdf, cos_diff)
+    )
 
     is_mirror = kind == mat.KIND_MIRROR
     is_on = kind == mat.KIND_OREN_NAYAR
