@@ -444,16 +444,24 @@ def _triangle_kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, aabb_ref,
     n_ref[:, :] = jnp.zeros((3, t_min.shape[1]), t_min.dtype)
     m_ref[:, :] = jnp.zeros(t_min.shape, jnp.int32)
 
-    def fetch_cluster(s, buf=0):
+    def start_fetch(s, buf=0):
         # Stream this cluster's rows from HBM: a (T, 13) table resident in
         # VMEM would be lane-padded 13 -> 128 (~14x waste, OOM at 70k tris).
         # Double-buffered by iteration parity (WAR safety on the scratch).
-        tile = tri_tile_ref.at[buf]
-        cp = pltpu.make_async_copy(
-            tri_ref.at[pl.ds(s * prim_tile, prim_tile)], tile, dma_sem.at[buf]
-        )
-        cp.start()
-        cp.wait()
+        pltpu.make_async_copy(
+            tri_ref.at[pl.ds(s * prim_tile, prim_tile)],
+            tri_tile_ref.at[buf], dma_sem.at[buf]
+        ).start()
+
+    def wait_fetch(s, buf=0):
+        pltpu.make_async_copy(
+            tri_ref.at[pl.ds(s * prim_tile, prim_tile)],
+            tri_tile_ref.at[buf], dma_sem.at[buf]
+        ).wait()
+
+    def fetch_cluster(s, buf=0):
+        start_fetch(s, buf)
+        wait_fetch(s, buf)
 
     def test_cluster(s, live_mask=None, buf=0):
         # Cluster rows were DMA'd into tri_tile_ref[buf] by fetch_cluster.
@@ -507,39 +515,68 @@ def _triangle_kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, aabb_ref,
         fetch_cluster(0)
         test_cluster(0)
     else:
-        # Front-to-back traversal, predication-free (see _sphere_kernel).
+        # Front-to-back traversal with a software-pipelined cluster DMA: the
+        # fetch for the NEXT cluster starts before the current cluster's MT
+        # test, hiding the HBM copy latency behind the vector work (the
+        # serialized start+wait measured as a large share of the ~5 us/visit
+        # kernel constant). Every started DMA is waited exactly once: the
+        # carried ``act`` flag is precisely "a fetch for s_cur is in flight".
         _keys_prepass(aabb_ref, keys, o3, inv_d, t_min, t_max,
                       krows=krows, n_real=prim_tiles)
 
-        def cond(carry):
-            i, done_i = carry
-            return (i < prim_tiles) & (done_i == 0)
-
-        def body(carry):
-            i, _ = carry
+        def next_candidate():
             kmin, s = _extract_min(keys, krows)
             s = jnp.minimum(s, jnp.int32(prim_tiles - 1))
             worst = jnp.max(jnp.minimum(st_t[0:1, :], t_max))
             if _DEBUG_NO_EARLYOUT:
                 worst = jnp.asarray(_INF, t_min.dtype)
-            active = kmin < worst
+            act = kmin < worst
             _clear_key(keys, s, krows)
-            row = pl.ds(s, 1)
+            return s, act
+
+        s0, act0 = next_candidate()
+
+        @pl.when(act0)
+        def _():
+            start_fetch(s0, buf=0)
+
+        def cond(carry):
+            _, act, _ = carry
+            return act
+
+        def body(carry):
+            s_cur, _, i = carry
+            buf = i % 2
+            # Extract and launch the next fetch while s_cur's DMA flies.
+            s_nxt, act_pre = next_candidate()
+
+            @pl.when(act_pre)
+            def _():
+                start_fetch(s_nxt, buf=(i + 1) % 2)
+
+            wait_fetch(s_cur, buf=buf)
+            # Re-test s_cur against bounds tightened since the prepass; the
+            # whole-cluster skip keeps the MT sweep off clusters no ray can
+            # improve in (the DMA already happened — only compute is saved).
+            row = pl.ds(s_cur, 1)
             b0 = (aabb_ref[row, 0:1], aabb_ref[row, 1:2], aabb_ref[row, 2:3])
             b1 = (aabb_ref[row, 3:4], aabb_ref[row, 4:5], aabb_ref[row, 5:6])
             tnear, tfar = _slab_range(
                 b0, b1, o3, inv_d, t_min, jnp.minimum(t_max, st_t[0:1, :])
             )
-            buf = i % 2
 
-            @pl.when(active & jnp.any(tnear <= tfar))
+            @pl.when(jnp.any(tnear <= tfar))
             def _():
-                fetch_cluster(s, buf=buf)
-                test_cluster(s, buf=buf)
+                test_cluster(s_cur, buf=buf)
 
-            return (i + 1, jnp.where(active, jnp.int32(0), jnp.int32(1)))
+            # The prefetch decision used the pre-test bounds; tightening from
+            # s_cur's test can only make skipping MORE valid, and a fetched-
+            # but-skipped cluster costs a wasted copy, not correctness: the
+            # next iteration re-evaluates nothing for s_nxt except its test
+            # gate. NOTE: act_pre must gate the next WAIT, so it is carried.
+            return (s_nxt, act_pre, i + 1)
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        jax.lax.while_loop(cond, body, (s0, act0, jnp.int32(0)))
 
     t_ref[:, :] = st_t[0:1, :]
     i_ref[:, :] = st_i[0:1, :]
@@ -665,13 +702,20 @@ def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, k_ref, tri_ref,
             hit = jnp.where(live_mask, hit, 0)   # value-folded predication
         occ_ref[:, :] = occ_ref[0:1, :] | hit
 
-    def tri_cluster(s, live_mask=None, buf=0):
+    def tri_start(s, buf=0):
+        pltpu.make_async_copy(
+            tri_ref.at[pl.ds(s * tri_prim_tile, tri_prim_tile)],
+            tri_tile_ref.at[buf], dma_sem.at[buf]
+        ).start()
+
+    def tri_wait(s, buf=0):
+        pltpu.make_async_copy(
+            tri_ref.at[pl.ds(s * tri_prim_tile, tri_prim_tile)],
+            tri_tile_ref.at[buf], dma_sem.at[buf]
+        ).wait()
+
+    def tri_test(s, live_mask=None, buf=0):
         tile = tri_tile_ref.at[buf]
-        cp = pltpu.make_async_copy(
-            tri_ref.at[pl.ds(s * tri_prim_tile, tri_prim_tile)], tile, dma_sem.at[buf]
-        )
-        cp.start()
-        cp.wait()
         v0x = tile[:, 0:1]; v0y = tile[:, 1:2]; v0z = tile[:, 2:3]
         e1x = tile[:, 3:4]; e1y = tile[:, 4:5]; e1z = tile[:, 5:6]
         e2x = tile[:, 6:7]; e2y = tile[:, 7:8]; e2z = tile[:, 8:9]
@@ -698,36 +742,75 @@ def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, k_ref, tri_ref,
             hit = jnp.where(live_mask, hit, 0)
         occ_ref[:, :] = occ_ref[0:1, :] | hit
 
-    def run_class(tiles, krows, key_row0, cluster_fn, skip_if_settled):
-        """Front-to-back ordered occlusion sweep over one primitive class,
+    def tri_cluster(s, live_mask=None, buf=0):
+        tri_start(s, buf)
+        tri_wait(s, buf)
+        tri_test(s, live_mask, buf)
+
+    def run_sph_class():
+        """Front-to-back ordered occlusion sweep over the sphere class,
         predication-free (while_loop + value-folded masks): near-first order
         drains lanes fastest, and the sweep stops once all lanes settle."""
-        if tiles == 1:
-            mask = None
-            if skip_if_settled:
-                mask = jnp.logical_not(all_settled())
-            cluster_fn(0, mask)
+        if sph_tiles == 1:
+            sph_cluster(0, None)
             return
-
-        init_done = jnp.int32(0)
-        if skip_if_settled:
-            init_done = jnp.where(all_settled(), jnp.int32(1), jnp.int32(0))
 
         def cond(carry):
             i, done_i = carry
-            return (i < tiles) & (done_i == 0)
+            return (i < sph_tiles) & (done_i == 0)
 
         def body(carry):
             i, _ = carry
-            kmin, s = _extract_min(keys, krows, row0=key_row0)
-            s = jnp.minimum(s, jnp.int32(tiles - 1))
+            kmin, s = _extract_min(keys, sph_krows, row0=0)
+            s = jnp.minimum(s, jnp.int32(sph_tiles - 1))
             active = kmin < _INF
-            _clear_key(keys, s, krows, row0=key_row0)
-            cluster_fn(s, active, **({"buf": i % 2} if cluster_fn is tri_cluster else {}))
+            _clear_key(keys, s, sph_krows, row0=0)
+            sph_cluster(s, active)
             stop = jnp.logical_not(active) | all_settled()
             return (i + 1, jnp.where(stop, jnp.int32(1), jnp.int32(0)))
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), init_done))
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+
+    def run_tri_class():
+        """Triangle sweep with software-pipelined cluster DMA (next fetch
+        launched before the current test — see _triangle_kernel). The
+        carried ``act`` flag is exactly "a fetch for s_cur is in flight",
+        so every started DMA is waited once."""
+        if tri_tiles == 1:
+            tri_cluster(0, jnp.logical_not(all_settled()))
+            return
+
+        def next_candidate():
+            kmin, s = _extract_min(keys, tri_krows, row0=sph_krows)
+            s = jnp.minimum(s, jnp.int32(tri_tiles - 1))
+            act = (kmin < _INF) & jnp.logical_not(all_settled())
+            _clear_key(keys, s, tri_krows, row0=sph_krows)
+            return s, act
+
+        s0, act0 = next_candidate()
+
+        @pl.when(act0)
+        def _():
+            tri_start(s0, buf=0)
+
+        def cond(carry):
+            _, act, _ = carry
+            return act
+
+        def body(carry):
+            s_cur, _, i = carry
+            buf = i % 2
+            s_nxt, act_pre = next_candidate()
+
+            @pl.when(act_pre)
+            def _():
+                tri_start(s_nxt, buf=(i + 1) % 2)
+
+            tri_wait(s_cur, buf=buf)
+            tri_test(s_cur, None, buf=buf)
+            return (s_nxt, act_pre, i + 1)
+
+        jax.lax.while_loop(cond, body, (s0, act0, jnp.int32(0)))
 
     # Prepass keys for both classes share one buffer: sphere rows first.
     if sph_tiles > 1:
@@ -737,8 +820,8 @@ def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, k_ref, tri_ref,
         _keys_prepass(tri_aabb_ref, keys, o3, inv_d, t_min, t_max,
                       krows=tri_krows, n_real=tri_tiles, row0=sph_krows)
 
-    run_class(sph_tiles, sph_krows, 0, sph_cluster, skip_if_settled=False)
-    run_class(tri_tiles, tri_krows, sph_krows, tri_cluster, skip_if_settled=True)
+    run_sph_class()
+    run_tri_class()
 
 
 @functools.partial(jax.jit, static_argnames=(
