@@ -157,3 +157,28 @@ def test_binned_method_matches_bruteforce():
     ob = occluded(scene, o, d, 1e-3, 2.5, method="bruteforce")
     op = occluded(scene, o, d, 1e-3, 2.5, method="binned_interpret")
     np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
+
+
+def test_pool_render_method_invariance():
+    """End-to-end pool render must be bitwise-identical across intersection
+    methods (bruteforce vs per-ray binned): per-ray hit results are
+    order-independent, so any divergence is a traversal bug. This is the
+    cross-check that exposed round 1's silently-wrong argsort reorder
+    (docs/PERFORMANCE.md, mesh section)."""
+    import numpy as np
+
+    from pathtrace_tpu.models import scenes
+    from pathtrace_tpu.ops.intersect import set_default_method
+    from pathtrace_tpu.render import RenderConfig, render
+
+    scene = scenes.mesh_scene(n_tris=1500)
+    cam = scenes.mesh_scene_camera(32, 32)
+    cfg = RenderConfig(width=32, height=32, spp=2, integrator="mis",
+                       max_bounces=3, seed=0, samples_per_batch=2)
+    try:
+        img_brute = np.asarray(render(scene, cam, cfg).image)
+        set_default_method("binned_interpret")
+        img_binned = np.asarray(render(scene, cam, cfg).image)
+    finally:
+        set_default_method(None)
+    np.testing.assert_array_equal(img_brute, img_binned)
