@@ -109,8 +109,13 @@ class Scene:
     # every lane for every ray, so scenes that lack a material kind skip
     # that lane's math entirely at trace time. The Oren-Nayar lane is the
     # expensive one to run for nothing (two atan2 + trig per ray, measured
-    # ~30% of the shading glue). Defaults are conservative (True) so
-    # hand-built Scene values keep every lane.
+    # ~30% of the shading glue); its flag and has_mirror default True so a
+    # hand-built Scene keeps those lanes. has_pbr is the exception: it
+    # defaults False (the lane is the costliest and the reference's
+    # PBRMaterial is dead code) — a hand-built Scene whose material table
+    # contains KIND_PBR rows MUST set has_pbr=True itself, or those rows
+    # fall through to the Mirror lane. SceneBuilder sets all three flags
+    # from the actual material list.
     has_pbr: bool = struct.field(pytree_node=False, default=False)
     has_oren_nayar: bool = struct.field(pytree_node=False, default=True)
     has_mirror: bool = struct.field(pytree_node=False, default=True)

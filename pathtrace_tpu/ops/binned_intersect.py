@@ -111,7 +111,12 @@ def _round_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, key_ref, tri_ref,
     m_ref[:, :] = jnp.zeros(t_min.shape, jnp.int32)
 
     first = jnp.min(ckey)
-    last = jnp.minimum(jnp.max(ckey), jnp.int32(n_clusters - 1))
+    # Span over LIVE lanes only: dead/padded lanes carry the sentinel key
+    # n_clusters, and a max over them would make the one boundary tile per
+    # round sweep every cluster to the end of the table (correctness was
+    # unaffected — ckey == s gates matches — but each extra cluster paid a
+    # DMA plus a full MT test).
+    last = jnp.max(jnp.where(ckey < n_clusters, ckey, -1))
 
     def test_cluster(s, buf):
         tile = tri_tile_ref.at[buf]
@@ -192,7 +197,8 @@ def _round_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, key_ref, tri_ref,
 
     occ_ref[:, :] = jnp.zeros(t_min.shape, jnp.int32)
     first = jnp.min(ckey)
-    last = jnp.minimum(jnp.max(ckey), jnp.int32(n_clusters - 1))
+    # Live-lane span only (see _round_closest_kernel).
+    last = jnp.max(jnp.where(ckey < n_clusters, ckey, -1))
 
     def test_cluster(s, buf):
         tile = tri_tile_ref.at[buf]

@@ -218,9 +218,16 @@ _METHOD_OVERRIDE: str | None = None
 
 def set_default_method(method: str | None) -> None:
     """Override what ``method="auto"`` resolves to (None restores the
-    platform default). Must be called before the renderers are traced."""
+    platform default).
+
+    The override is read at *trace* time and jit cache keys don't include
+    it, so changing it after the renderers have been traced would silently
+    keep the old method; the caches are dropped here so the next call
+    re-traces with the new default."""
     global _METHOD_OVERRIDE
-    _METHOD_OVERRIDE = method
+    if method != _METHOD_OVERRIDE:
+        _METHOD_OVERRIDE = method
+        jax.clear_caches()
 
 
 def default_method() -> str:

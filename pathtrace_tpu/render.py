@@ -95,7 +95,10 @@ def render_batch(
 
     def one_sample(s, acc):
         keys = rng_ops.pixel_sample_keys(key, pixel_ids, sample_start + s)
-        jitter = rng_ops.primary_jitter(keys)
+        # Jitter in the camera dtype: an f64 render drawing f32 jitter here
+        # would trace a different sample set than the pool (which keys its
+        # draws off the camera dtype), breaking sample-for-sample identity.
+        jitter = rng_ops.primary_jitter(keys, dtype=camera.origin.dtype)
         # y-flip at raygen (world.rs:299).
         o, d = camera.generate_rays(px, height - 1 - py, jitter)
         radiance = trace_wave(
