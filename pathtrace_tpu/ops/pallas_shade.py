@@ -1,0 +1,992 @@
+"""Fused bounce megakernel: one Pallas kernel from pending ray to next ray.
+
+Round-2 profiling (docs/PERFORMANCE.md) put the pool iteration at ~319 µs of
+which only ~180 µs were the intersection kernels — the rest was NEE light
+sampling, BSDF eval/sample, material resolve, MIS weights, Russian roulette
+and the XLA elementwise wiring between them, all paying HBM round-trips for
+every (S,)-shaped intermediate. This kernel executes the reference's entire
+per-vertex body (``rendering.rs:34-135``: closest hit → emissive/MIS term →
+NEE light sample + shadow test → BSDF sample → RR → next ray) for a 1024-lane
+ray tile without leaving VMEM:
+
+  1. closest hit over one right-sized sphere tile + one small triangle tile
+     (same math/epsilons as ops/pallas_intersect.py, shape.rs:53-89/161-198),
+     with the winner's FULL material row resolved by the exact bf16×3 MXU
+     one-hot contraction — the (S,M)@(M,12) XLA material fetch disappears;
+  2. the emissive terminal rules incl. the MIS bsdf-side weight with its
+     missing-1/num_lights quirk (rendering.rs:42-49, 113-121);
+  3. NEE: uniform light pick, triangle sqrt-warp / sphere-cone surface
+     sampling (shape.rs:91-145, 200-241), a fused shadow any-hit sweep over
+     both primitive classes, BSDF evaluation toward the light and the
+     balance-heuristic weight (rendering.rs:55-81);
+  4. BSDF sampling — Lambert cosine lane and the full GGX Mirror lane (VNDF
+     half-vector, Fresnel coin, both reflect/refract branches,
+     mirror.rs:200-305) — plus the RR schedule (rendering.rs:91-102) and the
+     state updates for surviving paths.
+
+Scope (static gates): scenes with ≤64 triangles, ≤512 spheres, ≤64 lights and
+no Oren–Nayar/PBR materials — the headline bench + Cornell class. Larger or
+ON/PBR scenes keep the composed per-op path in pool.py (identical estimator).
+
+Layout: rays on the 128-wide lane axis as everywhere else; 3-vectors are
+(x, y, z) tuples of (1, R) rows so every op is a rank-2 VPU broadcast.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import materials as mat
+from ..models.scene import Scene
+
+_INF = float("inf")
+_PI = 3.14159265358979323846
+
+RAY_TILE = 1024
+
+# Fused-path scene limits (single right-sized primitive tiles, no cluster
+# traversal): beyond these the per-op path with the hierarchical kernels wins.
+MAX_TRIS = 64
+MAX_SPHERES = 512
+MAX_LIGHTS = 64
+
+# Sphere-table columns.
+_SC_CX, _SC_CY, _SC_CZ, _SC_K, _SC_INVR = 0, 1, 2, 3, 4
+_SC_KIND = 5
+_SC_COL = 6     # 6:9 color
+_SC_EMI = 9     # 9:12 emission
+_SC_ROUGH, _SC_METAL, _SC_IOR = 12, 13, 14
+_SPH_COLS = 15
+
+# Triangle-table columns.
+_TC_V0, _TC_E1, _TC_E2, _TC_N = 0, 3, 6, 9
+_TC_KIND = 12
+_TC_COL = 13
+_TC_EMI = 16
+_TC_ROUGH, _TC_METAL, _TC_IOR = 19, 20, 21
+_TRI_COLS = 22
+
+# Light-table columns (scene.light_geom layout + prim id appended).
+_LC_ISTRI = 0
+_LC_P = 1       # 1:4 v0 / center
+_LC_RAD = 4     # sphere radius (shares the e1.x slot)
+_LC_E1 = 4      # 4:7 tri e1
+_LC_E2 = 7      # 7:10 tri e2
+_LC_N = 10      # 10:13 tri normal
+_LC_AREA = 13
+_LC_EMI = 14    # 14:17 emission
+_LC_PRIM = 17
+_LGT_COLS = 18
+
+
+def _cdiv(a, b):
+    return (a + b - 1) // b
+
+
+def _round8(n):
+    return max(8, ((n + 7) // 8) * 8)
+
+
+def _pad_rows(a, rows, fill=0.0):
+    pad = rows - a.shape[0]
+    if pad == 0:
+        return a
+    return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1), constant_values=fill)
+
+
+# ---------------------------------------------------------------------------
+# Column-vector helpers: a 3-vector is an (x, y, z) tuple of (1, R) rows.
+# ---------------------------------------------------------------------------
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _add3(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _scale3(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _neg3(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def _where3(c, a, b):
+    return (
+        jnp.where(c, a[0], b[0]),
+        jnp.where(c, a[1], b[1]),
+        jnp.where(c, a[2], b[2]),
+    )
+
+
+def _normalize3(a):
+    """vec.normalize semantics bit-for-bit: components DIVIDED by the length
+    (not multiplied by its reciprocal — that costs an extra rounding and can
+    flip downstream discrete decisions vs the composed path); zero vectors
+    pass through unchanged."""
+    ln = jnp.sqrt(_dot3(a, a))
+    safe = jnp.where(ln > 0.0, ln, 1.0)
+    return (
+        jnp.where(ln > 0.0, a[0] / safe, a[0]),
+        jnp.where(ln > 0.0, a[1] / safe, a[1]),
+        jnp.where(ln > 0.0, a[2] / safe, a[2]),
+    )
+
+
+def _finite(x):
+    return (x == x) & (jnp.abs(x) < _INF)
+
+
+def _finite3(a):
+    return _finite(a[0]) & _finite(a[1]) & _finite(a[2])
+
+
+def _forz3(a):
+    """vec.finite_or_zero per component."""
+    return (
+        jnp.where(_finite(a[0]), a[0], 0.0),
+        jnp.where(_finite(a[1]), a[1], 0.0),
+        jnp.where(_finite(a[2]), a[2], 0.0),
+    )
+
+
+def _luminance3(a):
+    return 0.2126 * a[0] + 0.7152 * a[1] + 0.0722 * a[2]
+
+
+def _pow5(x):
+    x2 = x * x
+    return x2 * x2 * x
+
+
+def _tangent_frame(n):
+    """Reference tangent-frame convention: up = +Y unless |n.y| > 0.999, then
+    +X (math.rs:116-124, material.rs:112-119, mirror.rs:21-27)."""
+    ny_big = jnp.abs(n[1]) > 0.999
+    one = jnp.ones_like(n[0])
+    zero = jnp.zeros_like(n[0])
+    up = (jnp.where(ny_big, one, zero), jnp.where(ny_big, zero, one), zero)
+    tangent = _normalize3(_cross3(up, n))
+    bitangent = _cross3(n, tangent)
+    return tangent, bitangent
+
+
+def _select_rows(mask_f, cols):
+    """Exact MXU one-hot row select: ``mask_f`` (P, R) one-hot float, ``cols``
+    a list of (P, 1) columns → list of (1, R) selected values. bf16×3 split
+    keeps the contraction exact in f32 (see pallas_intersect._select_winner)."""
+    cat = jnp.concatenate(cols, axis=1)                      # (P, k)
+
+    def dot(a):
+        return jax.lax.dot_general(
+            a, mask_f, (((0,), (0,)), ((), ())),
+            preferred_element_type=mask_f.dtype,
+        )
+
+    b0 = cat.astype(jnp.bfloat16).astype(cat.dtype)
+    r1 = cat - b0
+    b1 = r1.astype(jnp.bfloat16).astype(cat.dtype)
+    b2 = r1 - b1
+    sel = dot(b0) + dot(b1) + dot(b2)                        # (k, R)
+    return [sel[i : i + 1, :] for i in range(len(cols))]
+
+
+# ---------------------------------------------------------------------------
+# BSDF lanes in column layout (ports of ops/bsdf.py, mirror.rs formulas)
+# ---------------------------------------------------------------------------
+
+def _ggx_d(alpha2, n_dot_h):
+    c = jnp.minimum(jnp.abs(n_dot_h), 1.0)
+    denom = alpha2 * c * c + (1.0 - c) * (1.0 + c)
+    return alpha2 / (_PI * denom * denom)
+
+
+def _smith_g1(alpha2, cos_theta):
+    term = jnp.sqrt(alpha2 + (1.0 - alpha2) * cos_theta * cos_theta)
+    g = 2.0 * cos_theta / (cos_theta + term)
+    return jnp.where(cos_theta > 0.0, g, 0.0)
+
+
+def _smith_g2(alpha2, cos_i, cos_o):
+    def lam(c):
+        num = jnp.sqrt(alpha2 + (1.0 - alpha2) * c * c)
+        return (num - c) / (2.0 * c)
+
+    g = 1.0 / (1.0 + lam(cos_i) + lam(cos_o))
+    return jnp.where((cos_i > 0.0) & (cos_o > 0.0), g, 0.0)
+
+
+def _fresnel3(color, metallic, ior, cos_theta):
+    f0d = ((1.0 - ior) / (1.0 + ior)) ** 2
+    p5 = _pow5(1.0 - cos_theta)
+    out = []
+    for ch in range(3):
+        f0 = f0d * (1.0 - metallic) + color[ch] * metallic
+        out.append(f0 + (1.0 - f0) * p5)
+    return tuple(out)
+
+
+def _eval_lambert(color, o, normal):
+    inv_pi = 1.0 / _PI
+    brdf = _scale3(color, inv_pi)
+    pdf = jnp.maximum(_dot3(o, normal), 0.0) * inv_pi
+    return brdf, pdf
+
+
+def _eval_mirror(color, rough, metal, ior, i, o, normal, eta):
+    """Mirror::bsdf_pdf (mirror.rs:179-198 routing, :62-124 branches)."""
+    alpha = rough * rough
+    alpha2 = alpha * alpha
+
+    i_dot_n = _dot3(i, normal)
+    o_dot_n = _dot3(o, normal)
+    is_reflection = i_dot_n * o_dot_n > 0.0
+
+    # BRDF branch
+    h_r = _normalize3(_add3(i, o))
+    n_h_r = _dot3(normal, h_r)
+    d_r = _ggx_d(alpha2, n_h_r)
+    i_n_r = jnp.maximum(i_dot_n, 0.0)
+    o_n_r = jnp.maximum(o_dot_n, 0.0)
+    g_r = _smith_g2(alpha2, i_n_r, o_n_r)
+    cos_f = jnp.maximum(_dot3(i, h_r), 0.0)
+    f_r = _fresnel3(color, metal, ior, cos_f)
+    spec = d_r * g_r / (4.0 * i_n_r * o_n_r)
+    brdf = _scale3(f_r, spec)
+    i_h_r = jnp.abs(_dot3(i, h_r))
+    pdf_r = d_r * jnp.abs(n_h_r) / (4.0 * i_h_r)
+
+    # BTDF branch
+    h_t = _neg3(_normalize3(_add3(_scale3(i, eta), o)))
+    n_h_t = _dot3(normal, h_t)
+    d_t = _ggx_d(alpha2, n_h_t)
+    i_n_t = jnp.abs(i_dot_n)
+    o_n_t = jnp.abs(o_dot_n)
+    g_t = _smith_g2(alpha2, i_n_t, o_n_t)
+    i_h_t = _dot3(i, h_t)
+    o_h_t = _dot3(o, h_t)
+    denom_t = eta * i_h_t + o_h_t
+    f_t = _fresnel3(color, metal, ior, jnp.abs(i_h_t))
+    tt = d_t * g_t * jnp.abs(i_h_t) * jnp.abs(o_h_t) / (
+        i_n_t * o_n_t * denom_t * denom_t
+    )
+    btdf = ((1.0 - f_t[0]) * tt, (1.0 - f_t[1]) * tt, (1.0 - f_t[2]) * tt)
+    jac_t = jnp.abs(o_h_t) / (denom_t * denom_t)
+    pdf_t = d_t * jnp.abs(n_h_t) * jac_t
+
+    bsdf = _where3(is_reflection, brdf, btdf)
+    pdf = jnp.where(is_reflection, pdf_r, pdf_t)
+
+    metal_block = (metal > 0.99) & ~is_reflection
+    bsdf = _where3(metal_block, (0.0 * pdf,) * 3, bsdf)
+    pdf = jnp.where(metal_block, 1.0, pdf)
+    return bsdf, pdf
+
+
+def _sample_vndf(view, normal, rough, r1, r2):
+    """Heitz VNDF half-vector sample (mirror.rs:17-60)."""
+    alpha = rough * rough
+    tangent, bitangent = _tangent_frame(normal)
+    vl = (_dot3(view, tangent), _dot3(view, bitangent), _dot3(view, normal))
+    vh = _normalize3((alpha * vl[0], alpha * vl[1], vl[2]))
+    lensq = vh[0] * vh[0] + vh[1] * vh[1]
+    inv = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-38))
+    has = lensq > 0.0
+    t1 = (
+        jnp.where(has, -vh[1] * inv, 1.0),
+        jnp.where(has, vh[0] * inv, 0.0),
+        jnp.zeros_like(inv),
+    )
+    t2 = _cross3(vh, t1)
+
+    r = jnp.sqrt(r1)
+    phi = 2.0 * _PI * r2
+    t1c = r * jnp.cos(phi)
+    t2c = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[2])
+    t2c = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - t1c * t1c, 0.0)) + s * t2c
+
+    z = jnp.sqrt(jnp.maximum(1.0 - t1c * t1c - t2c * t2c, 0.0))
+    nh = _add3(_add3(_scale3(t1, t1c), _scale3(t2, t2c)), _scale3(vh, z))
+    ne = _normalize3((alpha * nh[0], alpha * nh[1], jnp.maximum(nh[2], 0.0)))
+    return _normalize3(
+        _add3(
+            _add3(_scale3(tangent, ne[0]), _scale3(bitangent, ne[1])),
+            _scale3(normal, ne[2]),
+        )
+    )
+
+
+def _cosine_hemisphere(normal, r1, r2):
+    phi = 2.0 * _PI * r1
+    cos_theta = jnp.sqrt(r2)
+    sin_theta = jnp.sqrt(1.0 - cos_theta * cos_theta)
+    x = sin_theta * jnp.cos(phi)
+    y = sin_theta * jnp.sin(phi)
+    tangent, bitangent = _tangent_frame(normal)
+    return _normalize3(
+        _add3(
+            _add3(_scale3(tangent, x), _scale3(bitangent, y)),
+            _scale3(normal, cos_theta),
+        )
+    )
+
+
+def _sample_mirror(color, rough, metal, ior, i, normal, eta, r1, r2, u_coin):
+    """Mirror::bsdf_pdf_sample (mirror.rs:200-305), both branches computed."""
+    alpha = rough * rough
+    alpha2 = alpha * alpha
+    i_dot_n = _dot3(i, normal)
+
+    h = _sample_vndf(i, normal, rough, r1, r2)
+    i_h = _dot3(i, h)
+    fail = i_h <= 0.0
+
+    fres = _fresnel3(color, metal, ior, i_h)
+    sin2_i = (1.0 - i_h) * (1.0 + i_h)
+    cos2_t = 1.0 - (eta * eta) * sin2_i
+    total_reflection = cos2_t < 0.0
+
+    force_reflect = total_reflection | (metal > 0.99)
+    rr_f = jnp.where(force_reflect, 1.0, fres[0])
+    fres = _where3(force_reflect, (jnp.ones_like(rr_f),) * 3, fres)
+    is_reflect = u_coin < rr_f
+
+    n_h = _dot3(normal, h)
+    d = _ggx_d(alpha2, n_h)
+
+    # Reflect branch
+    o_r = _normalize3(_sub3(_scale3(h, 2.0 * i_h), i))
+    o_n_r = jnp.maximum(_dot3(normal, o_r), 0.0)
+    i_n_r = jnp.maximum(i_dot_n, 0.0)
+    g_r = _smith_g2(alpha2, i_n_r, o_n_r)
+    spec = d * g_r / (4.0 * i_n_r * o_n_r * rr_f)
+    brdf = _scale3(fres, spec)
+    pdf_vndf_r = _smith_g1(alpha2, i_n_r) * d * jnp.maximum(i_h, 0.0) / i_n_r
+    pdf_r = pdf_vndf_r / (4.0 * jnp.abs(i_h))
+
+    # Refract branch
+    cos_t = jnp.sqrt(jnp.maximum(cos2_t, 0.0))
+    o_t = _normalize3(_sub3(_scale3(h, eta * i_h - cos_t), _scale3(i, eta)))
+    o_h_t = _dot3(o_t, h)
+    o_n_t = jnp.abs(_dot3(normal, o_t))
+    i_n_t = jnp.abs(i_dot_n)
+    denom_t = eta * i_h + o_h_t
+    g_t = _smith_g2(alpha2, i_n_t, o_n_t)
+    tt = d * g_t * jnp.abs(i_h) * jnp.abs(o_h_t) / (
+        i_n_t * o_n_t * denom_t * denom_t * (1.0 - rr_f)
+    )
+    btdf = ((1.0 - fres[0]) * tt, (1.0 - fres[1]) * tt, (1.0 - fres[2]) * tt)
+    jac = jnp.abs(o_h_t) / (denom_t * denom_t)
+    pdf_vndf_t = _smith_g1(alpha2, i_n_t) * d * jnp.maximum(i_h, 0.0) / i_n_t
+    pdf_t = pdf_vndf_t * jac
+
+    o = _where3(is_reflect, o_r, o_t)
+    bsdf = _where3(is_reflect, brdf, btdf)
+    pdf = jnp.where(is_reflect, pdf_r, pdf_t)
+    cos = jnp.where(is_reflect, o_n_r, o_n_t)
+
+    bad = fail | ~_finite3(bsdf) | ~_finite(pdf) | (pdf <= 0.0)
+    o = _where3(bad, normal, o)
+    bsdf = _where3(bad, (0.0 * pdf,) * 3, bsdf)
+    pdf = jnp.where(bad, 1.0, pdf)
+    cos = jnp.where(bad, 0.0, cos)
+    return o, bsdf, pdf, cos
+
+
+# ---------------------------------------------------------------------------
+# The megakernel
+# ---------------------------------------------------------------------------
+
+def _fused_bounce_kernel(
+    busy_ref, bounce_ref, o_ref, d_ref, eta_ref, pdfp_ref, pfx_ref, u_ref,
+    sph_ref, tri_ref, lgt_ref,
+    rad_ref, no_ref, nd_ref, neta_ref, npdf_ref, npfx_ref, live_ref, shade_ref,
+    *, num_tris, num_lights, max_bounces, use_mis, use_nee, has_mirror,
+    eps, rr_min_depth, rr_max_depth,
+):
+    busy = busy_ref[0:1, :] != 0
+    bounce = bounce_ref[0:1, :]
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+    eta_in = eta_ref[0:1, :]
+    pdf_prev = pdfp_ref[0:1, :]
+    pfx = (pfx_ref[0:1, :], pfx_ref[1:2, :], pfx_ref[2:3, :])
+    o3 = (ox, oy, oz)
+    d3 = (dx, dy, dz)
+    t_min = jnp.full(ox.shape, eps, ox.dtype)
+    t_max = jnp.full(ox.shape, _INF, ox.dtype)
+
+    od = _dot3(o3, d3)
+    oo = _dot3(o3, o3)
+
+    # ================= 1. Closest hit (spheres + triangles) =================
+    # Triangles (Möller–Trumbore, shape.rs:161-198; zero-edge pads self-reject)
+    v0 = (tri_ref[:, 0:1], tri_ref[:, 1:2], tri_ref[:, 2:3])
+    e1 = (tri_ref[:, 3:4], tri_ref[:, 4:5], tri_ref[:, 5:6])
+    e2 = (tri_ref[:, 6:7], tri_ref[:, 7:8], tri_ref[:, 8:9])
+
+    hx = dy * e2[2] - dz * e2[1]
+    hy = dz * e2[0] - dx * e2[2]
+    hz = dx * e2[1] - dy * e2[0]
+    a = e1[0] * hx + e1[1] * hy + e1[2] * hz
+    f = 1.0 / a
+    sx = ox - v0[0]; sy = oy - v0[1]; sz = oz - v0[2]
+    uu = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1[2] - sz * e1[1]
+    qy = sz * e1[0] - sx * e1[2]
+    qz = sx * e1[1] - sy * e1[0]
+    vv = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2[0] * qx + e2[1] * qy + e2[2] * qz)
+    ok = (
+        (jnp.abs(a) >= 1e-8)
+        & (uu >= 0.0) & (uu <= 1.0)
+        & (vv >= 0.0) & (uu + vv <= 1.0)
+        & (t >= t_min) & (t <= t_max)
+    )
+    ts = jnp.where(ok, t, _INF)
+    tri_t = jnp.min(ts, axis=0, keepdims=True)
+    tri_arg = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
+    tri_hit = tri_t < _INF
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, ts.shape, 0)
+    mask_t = ((row_iota == tri_arg) & tri_hit).astype(ts.dtype)
+    tsel = _select_rows(
+        mask_t,
+        [tri_ref[:, c : c + 1] for c in range(_TC_N, _TC_N + 3)]
+        + [tri_ref[:, c : c + 1] for c in range(_TC_KIND, _TRI_COLS)],
+    )
+    tn = (tsel[0], tsel[1], tsel[2])
+    t_kind, t_col0, t_col1, t_col2, t_emi0, t_emi1, t_emi2, t_rough, t_metal, t_ior = tsel[3:]
+
+    # Spheres (half-b quadratic with NaN-miss padding, shape.rs:53-89)
+    cx = sph_ref[:, 0:1]; cy = sph_ref[:, 1:2]; cz = sph_ref[:, 2:3]
+    kq = sph_ref[:, 3:4]
+    cd = cx * dx + cy * dy + cz * dz
+    co = cx * ox + cy * oy + cz * oz
+    half_b = od - cd
+    cterm = oo - 2.0 * co + kq
+    disc = half_b * half_b - cterm
+    sq = jnp.sqrt(disc)
+    root1 = -half_b - sq
+    t_c = jnp.where(root1 >= t_min, root1, -half_b + sq)
+    oks = (t_c >= t_min) & (t_c <= jnp.minimum(t_max, tri_t))
+    tss = jnp.where(oks, t_c, _INF)
+    sph_t = jnp.min(tss, axis=0, keepdims=True)
+    sph_arg = jnp.argmin(tss, axis=0).astype(jnp.int32)[None, :]
+    sph_hit = sph_t < tri_t
+    rows_s = jax.lax.broadcasted_iota(jnp.int32, tss.shape, 0)
+    mask_s = ((rows_s == sph_arg) & sph_hit).astype(tss.dtype)
+    ssel = _select_rows(
+        mask_s,
+        [sph_ref[:, c : c + 1] for c in (_SC_CX, _SC_CY, _SC_CZ, _SC_INVR)]
+        + [sph_ref[:, c : c + 1] for c in range(_SC_KIND, _SPH_COLS)],
+    )
+    scx, scy, scz, sir = ssel[0], ssel[1], ssel[2], ssel[3]
+    s_kind, s_col0, s_col1, s_col2, s_emi0, s_emi1, s_emi2, s_rough, s_metal, s_ior = ssel[4:]
+
+    # Merge
+    best_t = jnp.where(sph_hit, sph_t, tri_t)
+    hit_valid = sph_hit | tri_hit
+    tt0 = jnp.where(hit_valid, best_t, 0.0)
+    px = ox + tt0 * dx
+    py = oy + tt0 * dy
+    pz = oz + tt0 * dz
+    point = (px, py, pz)
+    outward = (
+        jnp.where(sph_hit, (px - scx) * sir, tn[0]),
+        jnp.where(sph_hit, (py - scy) * sir, tn[1]),
+        jnp.where(sph_hit, (pz - scz) * sir, tn[2]),
+    )
+    prim = jnp.where(sph_hit, num_tris + sph_arg, jnp.where(tri_hit, tri_arg, -1))
+
+    kind = jnp.where(sph_hit, s_kind, t_kind)
+    m_col = _where3(sph_hit, (s_col0, s_col1, s_col2), (t_col0, t_col1, t_col2))
+    m_emi = _where3(sph_hit, (s_emi0, s_emi1, s_emi2), (t_emi0, t_emi1, t_emi2))
+    m_rough = jnp.where(sph_hit, s_rough, t_rough)
+    m_metal = jnp.where(sph_hit, s_metal, t_metal)
+    m_ior = jnp.where(sph_hit, s_ior, t_ior)
+
+    front_face = _dot3(d3, outward) < 0.0
+    normal = _where3(front_face, outward, _neg3(outward))
+    kind_i = kind.astype(jnp.int32)
+
+    # ================= 2. Emissive terminal rules ==========================
+    emis = hit_valid & (kind_i == mat.KIND_EMISSIVE) & (_dot3(m_emi, m_emi) > 0.0)
+    if not (use_mis or use_nee):  # brdf_only: visible at any depth
+        emis_gain = m_emi
+    else:
+        if use_mis and num_lights > 0:
+            # Light row of the hit primitive (MIS bsdf-side pdf query,
+            # rendering.rs:113-121; NOT divided by num_lights — the quirk).
+            lp = lgt_ref[:, _LC_PRIM : _LC_PRIM + 1]
+            mask_l = (lp == prim.astype(lp.dtype)).astype(lp.dtype)
+            lsel = _select_rows(
+                mask_l,
+                [lgt_ref[:, c : c + 1] for c in range(_LC_ISTRI, _LC_EMI)],
+            )
+            l_is_tri = lsel[_LC_ISTRI] > 0.5
+            lpv = (lsel[_LC_P], lsel[_LC_P + 1], lsel[_LC_P + 2])
+            l_rad = lsel[_LC_RAD]
+            l_n = (lsel[_LC_N], lsel[_LC_N + 1], lsel[_LC_N + 2])
+            l_area = lsel[_LC_AREA]
+            # Triangle lane: area→solid-angle pdf toward the known hit point
+            # (shape.rs:228-239; two-sided emitters).
+            to_l = _sub3(point, o3)
+            dist_l = jnp.sqrt(_dot3(to_l, to_l))
+            safe_dl = jnp.where(dist_l > 0.0, dist_l, 1.0)
+            ldir_l = (to_l[0] / safe_dl, to_l[1] / safe_dl, to_l[2] / safe_dl)
+            cos_light = jnp.abs(_dot3(l_n, _neg3(ldir_l)))
+            pdf_area = 1.0 / jnp.maximum(l_area, 1e-20)
+            pdf_tri = jnp.where(
+                cos_light > 1e-8,
+                pdf_area * (dist_l * dist_l) / jnp.maximum(cos_light, 1e-8),
+                1e-8,
+            )
+            # Sphere lane: constant cone pdf (shape.rs:91-145).
+            to_c = _sub3(lpv, o3)
+            dist_sq = _dot3(to_c, to_c)
+            sin2_max = (l_rad * l_rad) / jnp.where(dist_sq > 0.0, dist_sq, 1.0)
+            cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+            solid = 2.0 * _PI * (1.0 - cos_max)
+            pdf_sph = 1.0 / jnp.maximum(solid, 1e-12)
+            pdf_shape = jnp.where(l_is_tri, pdf_tri, pdf_sph)
+            w_bsdf = pdf_prev / (pdf_prev + pdf_shape)
+        else:
+            w_bsdf = jnp.zeros_like(pdf_prev)
+        # Depth 0: raw emission; deeper: MIS-weighted (rendering.rs:42-49).
+        emis_gain = _where3(bounce == 0, m_emi, _scale3(m_emi, w_bsdf))
+
+    gain = _forz3(
+        (pfx[0] * emis_gain[0], pfx[1] * emis_gain[1], pfx[2] * emis_gain[2])
+    )
+    be = busy & emis
+    rad = _where3(be, gain, (0.0 * ox,) * 3)
+
+    shade = busy & hit_valid & ~emis & (bounce < max_bounces)
+    i3 = _neg3(d3)
+    u0 = u_ref[0:1, :]; u1 = u_ref[1:2, :]; u2 = u_ref[2:3, :]
+    u3 = u_ref[3:4, :]; u4 = u_ref[4:5, :]; u5 = u_ref[5:6, :]
+    u6 = u_ref[6:7, :]
+
+    # ================= 3. NEE + shadow any-hit =============================
+    if use_nee and num_lights > 0:
+        lidx = jnp.minimum(
+            (u0 * num_lights).astype(jnp.int32), num_lights - 1
+        )
+        liota = jax.lax.broadcasted_iota(
+            jnp.int32, (lgt_ref.shape[0], lidx.shape[1]), 0
+        )
+        mask_pick = (liota == lidx).astype(ox.dtype)
+        psel = _select_rows(
+            mask_pick, [lgt_ref[:, c : c + 1] for c in range(_LC_PRIM)]
+        )
+        p_is_tri = psel[_LC_ISTRI] > 0.5
+        p_p = (psel[_LC_P], psel[_LC_P + 1], psel[_LC_P + 2])
+        p_rad = psel[_LC_RAD]
+        p_e1 = (psel[_LC_E1], psel[_LC_E1 + 1], psel[_LC_E1 + 2])
+        p_e2 = (psel[_LC_E2], psel[_LC_E2 + 1], psel[_LC_E2 + 2])
+        p_n = (psel[_LC_N], psel[_LC_N + 1], psel[_LC_N + 2])
+        p_area = psel[_LC_AREA]
+        p_emi = (psel[_LC_EMI], psel[_LC_EMI + 1], psel[_LC_EMI + 2])
+
+        # Triangle lane: sqrt-warp area sample (shape.rs:210-219).
+        sqrt_r1 = jnp.sqrt(u1)
+        wu = 1.0 - sqrt_r1
+        wv = u2 * sqrt_r1
+        lp_tri = _add3(_add3(p_p, _scale3(p_e1, wu)), _scale3(p_e2, wv))
+
+        # Sphere lane: uniform cone direction, re-intersected (shape.rs:91-145).
+        to_c = _sub3(p_p, point)
+        dist_sq = _dot3(to_c, to_c)
+        sin2_max = (p_rad * p_rad) / jnp.where(dist_sq > 0.0, dist_sq, 1.0)
+        cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+        solid = 2.0 * _PI * (1.0 - cos_max)
+        pdf_sph = 1.0 / jnp.maximum(solid, 1e-12)
+        cth = 1.0 - u1 + u1 * cos_max
+        sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+        phi = 2.0 * _PI * u2
+        wdir = _normalize3(to_c)
+        wy_big = jnp.abs(wdir[1]) > 0.999
+        onec = jnp.ones_like(wdir[0])
+        zeroc = jnp.zeros_like(wdir[0])
+        upv = (jnp.where(wy_big, onec, zeroc), jnp.where(wy_big, zeroc, onec), zeroc)
+        uax = _normalize3(_cross3(upv, wdir))
+        vax = _cross3(wdir, uax)
+        cone = _normalize3(
+            _add3(
+                _add3(_scale3(uax, sth * jnp.cos(phi)), _scale3(vax, sth * jnp.sin(phi))),
+                _scale3(wdir, cth),
+            )
+        )
+        ocv = _sub3(point, p_p)
+        a_q = _dot3(cone, cone)
+        hb_q = _dot3(ocv, cone)
+        c_q = _dot3(ocv, ocv) - p_rad * p_rad
+        disc_q = hb_q * hb_q - a_q * c_q
+        t_q = (-hb_q - jnp.sqrt(jnp.maximum(disc_q, 0.0))) / a_q
+        lp_sph = _add3(point, _scale3(cone, t_q))
+
+        lpoint = _where3(p_is_tri, lp_tri, lp_sph)
+        lnorm = _where3(p_is_tri, p_n, _normalize3(_sub3(lp_sph, p_p)))
+
+        to_light = _sub3(lpoint, point)
+        ldist = jnp.sqrt(_dot3(to_light, to_light))
+        safe_ld = jnp.where(ldist > 0.0, ldist, 1.0)
+        ldir = (
+            to_light[0] / safe_ld, to_light[1] / safe_ld, to_light[2] / safe_ld
+        )
+
+        cos_li = jnp.abs(_dot3(lnorm, _neg3(ldir)))
+        pdf_area = 1.0 / jnp.maximum(p_area, 1e-20)
+        pdf_tri = jnp.where(
+            cos_li > 1e-8,
+            pdf_area * (ldist * ldist) / jnp.maximum(cos_li, 1e-8),
+            1e-8,
+        )
+        ls_pdf = jnp.where(p_is_tri, pdf_tri, pdf_sph) / num_lights
+
+        # Shadow any-hit sweep over both classes, t in [eps, dist - eps]
+        # (rendering.rs:62-65). Same hit criteria as the closest sweeps.
+        so = point
+        sd = ldir
+        s_tmax = ldist - eps
+        sod = _dot3(so, sd)
+        soo = _dot3(so, so)
+        s_cd = cx * sd[0] + cy * sd[1] + cz * sd[2]
+        s_co = cx * so[0] + cy * so[1] + cz * so[2]
+        s_hb = sod - s_cd
+        s_ct = soo - 2.0 * s_co + kq
+        s_disc = s_hb * s_hb - s_ct
+        s_sq = jnp.sqrt(s_disc)
+        s_r1 = -s_hb - s_sq
+        s_tc = jnp.where(s_r1 >= eps, s_r1, -s_hb + s_sq)
+        s_ok = (s_tc >= eps) & (s_tc <= s_tmax)
+        occ_s = jnp.max(jnp.where(s_ok, 1.0, 0.0), axis=0, keepdims=True)
+
+        shx = sd[1] * e2[2] - sd[2] * e2[1]
+        shy = sd[2] * e2[0] - sd[0] * e2[2]
+        shz = sd[0] * e2[1] - sd[1] * e2[0]
+        sa = e1[0] * shx + e1[1] * shy + e1[2] * shz
+        sf = 1.0 / sa
+        ssx = so[0] - v0[0]; ssy = so[1] - v0[1]; ssz = so[2] - v0[2]
+        su = sf * (ssx * shx + ssy * shy + ssz * shz)
+        sqx = ssy * e1[2] - ssz * e1[1]
+        sqy = ssz * e1[0] - ssx * e1[2]
+        sqz = ssx * e1[1] - ssy * e1[0]
+        sv = sf * (sd[0] * sqx + sd[1] * sqy + sd[2] * sqz)
+        st = sf * (e2[0] * sqx + e2[1] * sqy + e2[2] * sqz)
+        s_ok_t = (
+            (jnp.abs(sa) >= 1e-8)
+            & (su >= 0.0) & (su <= 1.0)
+            & (sv >= 0.0) & (su + sv <= 1.0)
+            & (st >= eps) & (st <= s_tmax)
+        )
+        occ_t = jnp.max(jnp.where(s_ok_t, 1.0, 0.0), axis=0, keepdims=True)
+        blocked = (occ_s + occ_t) > 0.0
+
+        cos_l = jnp.abs(_dot3(normal, ldir))
+        lam_b, lam_p = _eval_lambert(m_col, ldir, normal)
+        if has_mirror:
+            mir_b, mir_p = _eval_mirror(
+                m_col, m_rough, m_metal, m_ior, i3, ldir, normal, eta_in
+            )
+            is_mir = kind_i == mat.KIND_MIRROR
+            bsdf_l = _where3(is_mir, mir_b, lam_b)
+            pdf_l = jnp.where(is_mir, mir_p, lam_p)
+        else:
+            bsdf_l, pdf_l = lam_b, lam_p
+        # Non-diffuse/non-mirror kinds (emissive) eval to zero / pdf 1.
+        is_em_k = kind_i == mat.KIND_EMISSIVE
+        bsdf_l = _where3(is_em_k, (0.0 * ox,) * 3, bsdf_l)
+        pdf_l = jnp.where(is_em_k, 1.0, pdf_l)
+
+        if use_mis:
+            w_nee = ls_pdf / (ls_pdf + pdf_l)
+        else:
+            w_nee = jnp.ones_like(ls_pdf)
+        # Same association as the composed path's
+        # w_nee * bsdf * emission * (cos/pdf) for bitwise agreement.
+        cscale = cos_l / ls_pdf
+        direct = (
+            w_nee * bsdf_l[0] * p_emi[0] * cscale,
+            w_nee * bsdf_l[1] * p_emi[1] * cscale,
+            w_nee * bsdf_l[2] * p_emi[2] * cscale,
+        )
+        direct = _forz3(_where3(blocked, (0.0 * ox,) * 3, direct))
+    else:
+        direct = (0.0 * ox,) * 3
+
+    # ================= 4. BSDF sample + RR + state update ==================
+    eta_s = jnp.where(front_face, 1.0 / m_ior, m_ior)
+    d_diff = _cosine_hemisphere(normal, u3, u4)
+    lam_b, lam_p = _eval_lambert(m_col, d_diff, normal)
+    cos_diff = jnp.maximum(_dot3(d_diff, normal), 0.0)
+    if has_mirror:
+        mo, mb, mp, mc = _sample_mirror(
+            m_col, m_rough, m_metal, m_ior, i3, normal, eta_s, u3, u4, u5
+        )
+        is_mir = kind_i == mat.KIND_MIRROR
+        o_dir = _where3(is_mir, mo, d_diff)
+        bsdf_s = _where3(is_mir, mb, lam_b)
+        pdf_s = jnp.where(is_mir, mp, lam_p)
+        cos_s = jnp.where(is_mir, mc, cos_diff)
+    else:
+        o_dir, bsdf_s, pdf_s, cos_s = d_diff, lam_b, lam_p, cos_diff
+    is_em_k = kind_i == mat.KIND_EMISSIVE
+    o_dir = _where3(is_em_k, normal, o_dir)
+    bsdf_s = _where3(is_em_k, (0.0 * ox,) * 3, bsdf_s)
+    pdf_s = jnp.where(is_em_k, 1.0, pdf_s)
+    cos_s = jnp.where(is_em_k, 0.0, cos_s)
+
+    fscale = cos_s / pdf_s
+    factor = _scale3(bsdf_s, fscale)
+    next_tp = (pfx[0] * factor[0], pfx[1] * factor[1], pfx[2] * factor[2])
+
+    # RR schedule (rendering.rs:91-98).
+    lum = jnp.minimum(_luminance3(_forz3(next_tp)), 1.0)
+    decay = jnp.exp2(
+        -(jnp.maximum(bounce - rr_min_depth, 0)).astype(lum.dtype)
+    )
+    rr = jnp.where(
+        bounce < rr_min_depth,
+        jnp.ones_like(lum),
+        jnp.where(bounce >= rr_max_depth, lum * decay, lum),
+    )
+    survive = u6 < rr
+    live = shade & survive
+
+    # Quirk 1: NEE direct only counts when RR survives (rendering.rs:100-102).
+    dgain = _forz3(
+        (pfx[0] * direct[0], pfx[1] * direct[1], pfx[2] * direct[2])
+    )
+    rad = _add3(rad, _where3(live, dgain, (0.0 * ox,) * 3))
+
+    new_pfx = _forz3(
+        (next_tp[0] / rr, next_tp[1] / rr, next_tp[2] / rr)
+    )
+
+    rad_ref[0:1, :] = rad[0]
+    rad_ref[1:2, :] = rad[1]
+    rad_ref[2:3, :] = rad[2]
+    no_ref[0:1, :] = jnp.where(live, point[0], ox)
+    no_ref[1:2, :] = jnp.where(live, point[1], oy)
+    no_ref[2:3, :] = jnp.where(live, point[2], oz)
+    nd_ref[0:1, :] = jnp.where(live, o_dir[0], dx)
+    nd_ref[1:2, :] = jnp.where(live, o_dir[1], dy)
+    nd_ref[2:3, :] = jnp.where(live, o_dir[2], dz)
+    neta_ref[:, :] = jnp.where(live, eta_s, eta_in)
+    npdf_ref[:, :] = jnp.where(live, pdf_s, pdf_prev)
+    npfx_ref[0:1, :] = jnp.where(live, new_pfx[0], pfx[0])
+    npfx_ref[1:2, :] = jnp.where(live, new_pfx[1], pfx[1])
+    npfx_ref[2:3, :] = jnp.where(live, new_pfx[2], pfx[2])
+    live_ref[:, :] = live.astype(jnp.int32)
+    shade_ref[:, :] = shade.astype(jnp.int32)
+
+
+class FusedTables(NamedTuple):
+    """Scene tables packed for the megakernel (built once per render)."""
+
+    sph: jnp.ndarray   # (Ps, _SPH_COLS)
+    tri: jnp.ndarray   # (Pt, _TRI_COLS)
+    lgt: jnp.ndarray   # (L8, _LGT_COLS)
+
+
+def supports_scene(scene: Scene, integrator: str) -> bool:
+    """Static gate: can the megakernel serve this scene/integrator?"""
+    return (
+        integrator in ("mis", "nee", "brdf_only")
+        and scene.tri_v0.shape[0] <= MAX_TRIS
+        and scene.sph_center.shape[0] <= MAX_SPHERES
+        and scene.light_geom.shape[0] <= MAX_LIGHTS
+        and not scene.has_pbr
+        and not scene.has_oren_nayar
+    )
+
+
+def build_tables(scene: Scene) -> FusedTables:
+    """Pack per-primitive material rows (resolving the material indirection at
+    scene-build rate, not wave rate) and the light table. Call once outside
+    the render loop so the packing isn't re-executed per bounce."""
+    dtype = scene.mat_color.dtype
+
+    def mat_cols(mid):
+        return [
+            scene.mat_kind[mid].astype(dtype)[:, None],
+            scene.mat_color[mid],
+            scene.mat_emission[mid],
+            scene.mat_roughness[mid][:, None],
+            scene.mat_metallic[mid][:, None],
+            scene.mat_ior[mid][:, None],
+        ]
+
+    centers = scene.sph_center
+    radius = scene.sph_radius
+    kq = jnp.where(
+        radius > 0.0,
+        jnp.sum(centers * centers, axis=-1) - radius * radius,
+        jnp.nan,
+    )[:, None]
+    inv_r = jnp.where(
+        radius > 0, 1.0 / jnp.where(radius > 0, radius, 1.0), 0.0
+    )[:, None]
+    sph = jnp.concatenate([centers, kq, inv_r] + mat_cols(scene.sph_mat), axis=1)
+    sph = _pad_rows(sph, _round8(sph.shape[0]))
+    # Padding rows: k stays NaN only for real padded radius-0 rows; rows added
+    # here get k=0 with center 0 — give them NaN too so they can never hit.
+    if sph.shape[0] > centers.shape[0]:
+        fixk = jnp.concatenate(
+            [kq[:, 0], jnp.full((sph.shape[0] - centers.shape[0],), jnp.nan, dtype)]
+        )
+        sph = sph.at[:, _SC_K].set(fixk)
+
+    tri = jnp.concatenate(
+        [scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_normal]
+        + mat_cols(scene.tri_mat),
+        axis=1,
+    )
+    tri = _pad_rows(tri, _round8(tri.shape[0]))
+
+    lgt = jnp.concatenate(
+        [scene.light_geom, scene.light_prims.astype(dtype)[:, None]], axis=1
+    )
+    # Padded light rows: prim id -2 (matches no hit), zero geometry.
+    pad_rows = _round8(lgt.shape[0]) - lgt.shape[0]
+    if pad_rows:
+        fill = jnp.zeros((pad_rows, _LGT_COLS), dtype).at[:, _LC_PRIM].set(-2.0)
+        lgt = jnp.concatenate([lgt, fill], axis=0)
+    return FusedTables(sph=sph, tri=tri, lgt=lgt)
+
+
+class BounceResult(NamedTuple):
+    rad_delta: jnp.ndarray   # (N, 3) radiance gained this bounce (pre-masked)
+    next_o: jnp.ndarray      # (N, 3)
+    next_d: jnp.ndarray      # (N, 3)
+    next_eta: jnp.ndarray    # (N,)
+    next_pdf: jnp.ndarray    # (N,)
+    next_prefix: jnp.ndarray  # (N, 3)
+    live: jnp.ndarray        # (N,) bool
+    shade: jnp.ndarray       # (N,) bool
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_tris", "num_lights", "integrator", "max_bounces", "eps",
+        "interpret", "ray_tile",
+    ),
+)
+def fused_bounce(
+    tables: FusedTables,
+    busy, bounce, ray_o, ray_d, eta, pdf_prev, prefix, uniforms,
+    *,
+    num_tris: int,
+    num_lights: int,
+    integrator: str,
+    max_bounces: int,
+    eps: float = 1e-3,
+    interpret: bool = False,
+    ray_tile: int = RAY_TILE,
+) -> BounceResult:
+    """One full path-vertex step for a wave (see module docstring).
+
+    ``uniforms`` is the (N, 8) per-bounce draw vector (utils/rng.py slots).
+    ``num_tris`` must be the scene's PADDED triangle row count — the global
+    prim-id base for spheres (models/scene.py id convention).
+    """
+    n = busy.shape[0]
+    n_pad = _cdiv(n, ray_tile) * ray_tile
+    dtype = ray_o.dtype
+    use_mis = integrator == "mis"
+    use_nee = integrator in ("mis", "nee")
+    has_mirror = True  # lane gating decided by caller via supports_scene
+
+    busy_p = _pad_rows(busy.astype(jnp.int32)[:, None], n_pad).T
+    bounce_p = _pad_rows(bounce[:, None], n_pad).T
+    o_t = _pad_rows(ray_o, n_pad).T
+    d_t = _pad_rows(ray_d, n_pad, fill=1.0).T
+    eta_p = _pad_rows(eta[:, None], n_pad, fill=1.0).T
+    pdfp_p = _pad_rows(pdf_prev[:, None], n_pad, fill=1.0).T
+    pfx_t = _pad_rows(prefix, n_pad).T
+    u_t = _pad_rows(uniforms, n_pad).T
+
+    grid = (n_pad // ray_tile,)
+
+    def spec(k):
+        return pl.BlockSpec((k, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def out_struct(shape, dt):
+        vma = frozenset().union(
+            *(jax.typeof(a).vma for a in (ray_o, ray_d, busy, prefix))
+        )
+        return jax.ShapeDtypeStruct(shape, dt, vma=vma)
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _fused_bounce_kernel,
+            num_tris=num_tris,
+            num_lights=num_lights,
+            max_bounces=max_bounces,
+            use_mis=use_mis,
+            use_nee=use_nee,
+            has_mirror=has_mirror,
+            eps=eps,
+            rr_min_depth=4,
+            rr_max_depth=50,
+        ),
+        grid=grid,
+        in_specs=[
+            spec(1), spec(1), spec(3), spec(3), spec(1), spec(1), spec(3),
+            spec(8),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            spec(3), spec(3), spec(3), spec(1), spec(1), spec(3), spec(1),
+            spec(1),
+        ],
+        out_shape=[
+            out_struct((3, n_pad), dtype),
+            out_struct((3, n_pad), dtype),
+            out_struct((3, n_pad), dtype),
+            out_struct((1, n_pad), dtype),
+            out_struct((1, n_pad), dtype),
+            out_struct((3, n_pad), dtype),
+            out_struct((1, n_pad), jnp.int32),
+            out_struct((1, n_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(busy_p, bounce_p, o_t, d_t, eta_p, pdfp_p, pfx_t, u_t,
+      tables.sph, tables.tri, tables.lgt)
+    rad, no, nd, neta, npdf, npfx, live, shade = outs
+    return BounceResult(
+        rad_delta=rad[:, :n].T,
+        next_o=no[:, :n].T,
+        next_d=nd[:, :n].T,
+        next_eta=neta[0, :n],
+        next_pdf=npdf[0, :n],
+        next_prefix=npfx[:, :n].T,
+        live=live[0, :n] != 0,
+        shade=shade[0, :n] != 0,
+    )

@@ -41,7 +41,8 @@ from .models.camera import Camera
 from .models.scene import Scene
 from .ops import bsdf as bsdf_ops
 from .ops import lights as light_ops
-from .ops.intersect import intersect, occluded
+from .ops import pallas_shade
+from .ops.intersect import default_method, intersect, occluded
 from .utils import rng as rng_ops
 from .utils import vec
 
@@ -50,6 +51,19 @@ from .utils import vec
 # negligible while the ring stays ~1.5 MB at 16k slots.
 FLUSH_EVERY = 8
 
+# Process-wide override for the fused-megakernel auto gate (None = auto:
+# fused whenever the scene qualifies and the intersect method is pallas).
+_FUSED_OVERRIDE: bool | None = None
+
+
+def set_fused(value: bool | None) -> None:
+    """Force the bounce megakernel on/off (None restores auto). Read at trace
+    time — caches are dropped so already-traced renders re-trace."""
+    global _FUSED_OVERRIDE
+    if value != _FUSED_OVERRIDE:
+        _FUSED_OVERRIDE = value
+        jax.clear_caches()
+
 
 class _PoolState(NamedTuple):
     # Per-slot path state
@@ -57,10 +71,10 @@ class _PoolState(NamedTuple):
     chunk: jnp.ndarray      # (S,) int32 work-item chunk index (framebuffer row)
     sample: jnp.ndarray     # (S,) int32 assigned sample index
     bounce: jnp.ndarray     # (S,) int32 current path depth
-    ray_o: jnp.ndarray      # (S, 3)
+    ray_o: jnp.ndarray      # (S, 3) ray origin == previous path vertex (the
+    #                         MIS bsdf-side pdf query runs ray_o -> hit.point)
     ray_d: jnp.ndarray      # (S, 3)
     ray_eta: jnp.ndarray    # (S,) eta carried on the ray (set at spawn vertex)
-    prev_point: jnp.ndarray  # (S, 3) previous vertex (for the MIS pdf query)
     pdf_prev: jnp.ndarray   # (S,) bsdf pdf of the ray's sample at spawn
     prefix: jnp.ndarray     # (S, 3) throughput incl. rr division
     radiance: jnp.ndarray   # (S, 3) accumulated path radiance
@@ -125,6 +139,17 @@ def _pool_loop(
     """
     use_mis = integrator == "mis"
     use_nee = integrator in ("mis", "nee")
+    # Megakernel path: the whole bounce (closest hit + shading + NEE shadow
+    # sweep + BSDF sample + RR) fuses into one Pallas kernel for small scenes
+    # on real accelerators (ops/pallas_shade.py). The composed per-op path
+    # below remains the reference implementation (CPU, big scenes, ON/PBR).
+    method = default_method()
+    fused = (
+        pallas_shade.supports_scene(scene, integrator)
+        and method in ("pallas", "pallas_interpret")
+        and _FUSED_OVERRIDE is not False
+    )
+    fused_tables = pallas_shade.build_tables(scene) if fused else None
     num_pixels = local_pixels
     S = min(num_slots, num_pixels)
     chunks = -(-num_pixels // S)          # pixels per slot stream
@@ -165,7 +190,6 @@ def _pool_loop(
             [jnp.zeros((S, 2), dtype), jnp.ones((S, 1), dtype)], 1
         ) + fzero[..., None],
         ray_eta=jnp.ones((S,), dtype) + fzero,
-        prev_point=zero3,
         pdf_prev=jnp.ones((S,), dtype) + fzero,
         prefix=jnp.ones((S, 3), dtype) + fzero[..., None],
         radiance=zero3,
@@ -220,83 +244,125 @@ def _pool_loop(
         ray_o = jnp.where(r, cam_o, s.ray_o)
         ray_d = jnp.where(r, cam_d, s.ray_d)
         ray_eta = jnp.where(started, 1.0, s.ray_eta)
-        prev_point = jnp.where(r, cam_o, s.prev_point)
         pdf_prev = jnp.where(started, 1.0, s.pdf_prev)
         prefix = jnp.where(r, 1.0, s.prefix)
         radiance = jnp.where(r, 0.0, s.radiance)
         busy = s.busy | started
 
-        # ---- One bounce for every busy slot ----
-        hit = intersect(scene, ray_o, ray_d, EPS, jnp.inf)
-        mp = bsdf_ops.mat_of(scene, hit.mat)  # one resolve per bounce
-        emis = hit.valid & bsdf_ops.is_emissive_params(mp)
-        emission = bsdf_ops.emitted_params(mp)
-
-        # Emissive terminal rules (rendering.rs:42-49 / 225-227):
-        if integrator == "brdf_only":
-            emis_gain = emission
-        else:
-            if use_mis:
-                pdf_shape = light_ops.light_pdf_toward(scene, hit.prim, prev_point, hit.point)
-                w_bsdf = pdf_prev / (pdf_prev + pdf_shape)
-            else:
-                w_bsdf = jnp.zeros((S,), dtype)
-            # depth 0: raw emission; depth >0: MIS-weighted (prefix already
-            # carries bsdf·cos/(pdf·rr) from the spawning vertex).
-            emis_gain = jnp.where((bounce == 0)[:, None], emission, w_bsdf[:, None] * emission)
-        radiance = radiance + jnp.where(
-            (busy & emis)[:, None], vec.finite_or_zero(prefix * emis_gain), 0.0
-        )
-
-        # A path may reach bounce == max_bounces only to collect a light hit
-        # (the wavefront loop's final peek term); it never shades there.
-        shade = busy & hit.valid & ~emis & (bounce < max_bounces)
         u = _per_slot_uniforms(keys, bounce, dtype)
-        i_dir = -ray_d
 
-        # ---- NEE (rendering.rs:55-81) ----
-        if use_nee:
-            ls = light_ops.sample_light_point(
-                scene,
-                hit.point,
-                u[:, rng_ops.SLOT_LIGHT_SELECT],
-                u[:, rng_ops.SLOT_LIGHT_U],
-                u[:, rng_ops.SLOT_LIGHT_V],
+        if fused:
+            # ---- One bounce for every busy slot: single megakernel ----
+            res = pallas_shade.fused_bounce(
+                fused_tables, busy, bounce, ray_o, ray_d, ray_eta, pdf_prev,
+                prefix, u,
+                num_tris=scene.tri_v0.shape[0],
+                num_lights=scene.num_lights,
+                integrator=integrator,
+                max_bounces=max_bounces,
+                eps=EPS,
+                interpret=method == "pallas_interpret",
             )
-            blocked = occluded(scene, hit.point, ls.dir, EPS, ls.dist - EPS)
-            cos_l = jnp.abs(vec.dot(hit.normal, ls.dir))
-            bsdf_l, pdf_bsdf_l = bsdf_ops.eval_bsdf(
-                scene, hit.mat, i_dir, ray_eta, ls.dir, hit.normal, params=mp
+            radiance = radiance + res.rad_delta
+            shade = res.shade
+            live = res.live
+            next_ray_o, next_ray_d = res.next_o, res.next_d
+            next_eta, next_pdf, next_prefix = (
+                res.next_eta, res.next_pdf, res.next_prefix
             )
-            w_nee = ls.pdf / (ls.pdf + pdf_bsdf_l) if use_mis else jnp.ones_like(ls.pdf)
-            direct = w_nee[:, None] * bsdf_l * ls.emission * (cos_l / ls.pdf)[:, None]
-            direct = vec.finite_or_zero(jnp.where(blocked[:, None], 0.0, direct))
         else:
-            direct = zero3
+            # ---- One bounce for every busy slot: composed per-op path ----
+            hit = intersect(scene, ray_o, ray_d, EPS, jnp.inf)
+            mp = bsdf_ops.mat_of(scene, hit.mat)  # one resolve per bounce
+            emis = hit.valid & bsdf_ops.is_emissive_params(mp)
+            emission = bsdf_ops.emitted_params(mp)
 
-        # ---- BSDF sample + RR (rendering.rs:83-102) ----
-        eta_s = bsdf_ops.eta_ratio(scene, hit.mat, hit.front_face, params=mp)
-        o_dir, bsdf_s, pdf_s, cos_s = bsdf_ops.sample_bsdf(
-            scene,
-            hit.mat,
-            i_dir,
-            eta_s,
-            hit.normal,
-            u[:, rng_ops.SLOT_BSDF_U],
-            u[:, rng_ops.SLOT_BSDF_V],
-            u[:, rng_ops.SLOT_FRESNEL],
-            params=mp,
-        )
-        factor = bsdf_s * (cos_s / pdf_s)[:, None]
-        next_tp = prefix * factor
-        rr = _rr_probability(bounce, next_tp)
-        survive = u[:, rng_ops.SLOT_RR] < rr
+            # Emissive terminal rules (rendering.rs:42-49 / 225-227):
+            if integrator == "brdf_only":
+                emis_gain = emission
+            else:
+                if use_mis:
+                    # ray_o is the previous path vertex (camera origin at
+                    # depth 0) — the MIS bsdf-side pdf query's viewpoint.
+                    pdf_shape = light_ops.light_pdf_toward(
+                        scene, hit.prim, ray_o, hit.point
+                    )
+                    w_bsdf = pdf_prev / (pdf_prev + pdf_shape)
+                else:
+                    w_bsdf = jnp.zeros((S,), dtype)
+                # depth 0: raw emission; depth >0: MIS-weighted (prefix already
+                # carries bsdf·cos/(pdf·rr) from the spawning vertex).
+                emis_gain = jnp.where(
+                    (bounce == 0)[:, None], emission, w_bsdf[:, None] * emission
+                )
+            radiance = radiance + jnp.where(
+                (busy & emis)[:, None], vec.finite_or_zero(prefix * emis_gain), 0.0
+            )
 
-        live = shade & survive
-        # Quirk 1: NEE direct only counts when RR survives.
-        radiance = radiance + jnp.where(
-            live[:, None], vec.finite_or_zero(prefix * direct), 0.0
-        )
+            # A path may reach bounce == max_bounces only to collect a light
+            # hit (the wavefront loop's final peek term); it never shades there.
+            shade = busy & hit.valid & ~emis & (bounce < max_bounces)
+            i_dir = -ray_d
+
+            # ---- NEE (rendering.rs:55-81) ----
+            if use_nee:
+                ls = light_ops.sample_light_point(
+                    scene,
+                    hit.point,
+                    u[:, rng_ops.SLOT_LIGHT_SELECT],
+                    u[:, rng_ops.SLOT_LIGHT_U],
+                    u[:, rng_ops.SLOT_LIGHT_V],
+                )
+                blocked = occluded(scene, hit.point, ls.dir, EPS, ls.dist - EPS)
+                cos_l = jnp.abs(vec.dot(hit.normal, ls.dir))
+                bsdf_l, pdf_bsdf_l = bsdf_ops.eval_bsdf(
+                    scene, hit.mat, i_dir, ray_eta, ls.dir, hit.normal, params=mp
+                )
+                w_nee = (
+                    ls.pdf / (ls.pdf + pdf_bsdf_l) if use_mis
+                    else jnp.ones_like(ls.pdf)
+                )
+                direct = (
+                    w_nee[:, None] * bsdf_l * ls.emission
+                    * (cos_l / ls.pdf)[:, None]
+                )
+                direct = vec.finite_or_zero(
+                    jnp.where(blocked[:, None], 0.0, direct)
+                )
+            else:
+                direct = zero3
+
+            # ---- BSDF sample + RR (rendering.rs:83-102) ----
+            eta_s = bsdf_ops.eta_ratio(scene, hit.mat, hit.front_face, params=mp)
+            o_dir, bsdf_s, pdf_s, cos_s = bsdf_ops.sample_bsdf(
+                scene,
+                hit.mat,
+                i_dir,
+                eta_s,
+                hit.normal,
+                u[:, rng_ops.SLOT_BSDF_U],
+                u[:, rng_ops.SLOT_BSDF_V],
+                u[:, rng_ops.SLOT_FRESNEL],
+                params=mp,
+            )
+            factor = bsdf_s * (cos_s / pdf_s)[:, None]
+            next_tp = prefix * factor
+            rr = _rr_probability(bounce, next_tp)
+            survive = u[:, rng_ops.SLOT_RR] < rr
+
+            live = shade & survive
+            # Quirk 1: NEE direct only counts when RR survives.
+            radiance = radiance + jnp.where(
+                live[:, None], vec.finite_or_zero(prefix * direct), 0.0
+            )
+            l2f = live[:, None]
+            next_ray_o = jnp.where(l2f, hit.point, ray_o)
+            next_ray_d = jnp.where(l2f, o_dir, ray_d)
+            next_eta = jnp.where(live, eta_s, ray_eta)
+            next_pdf = jnp.where(live, pdf_s, pdf_prev)
+            next_prefix = jnp.where(
+                l2f, vec.finite_or_zero(prefix * factor / rr[:, None]), prefix
+            )
 
         # ---- Path termination & flush (dense slot-strided add, no scatter) ----
         # Dying paths park in a FLUSH_EVERY-deep ring; the (chunks, S, 3)
@@ -329,25 +395,26 @@ def _pool_loop(
         )
 
         # ---- Continue surviving paths ----
-        busy_inc = jnp.sum(busy.astype(jnp.uint32))
+        # Explicit accumulator dtype: under x64 a plain uint32 sum would
+        # promote to uint64 and break the while_loop carry contract.
+        busy_inc = jnp.sum(busy.astype(jnp.uint32), dtype=jnp.uint32)
         rays_inc = busy_inc + (
-            jnp.sum(shade.astype(jnp.uint32)) if use_nee else jnp.uint32(0)
+            jnp.sum(shade.astype(jnp.uint32), dtype=jnp.uint32)
+            if use_nee else jnp.uint32(0)
         )
         rays_lo = s.rays_lo + rays_inc  # uint32 wrap detected via carry below
         busy_lo = s.busy_lo + busy_inc
-        l2 = live[:, None]
         return _PoolState(
             pixel=pixel,
             chunk=chunk,
             sample=sample,
             bounce=jnp.where(live, bounce + 1, bounce),
-            ray_o=jnp.where(l2, hit.point, ray_o),
-            ray_d=jnp.where(l2, o_dir, ray_d),
-            ray_eta=jnp.where(live, eta_s, ray_eta),
-            prev_point=jnp.where(l2, hit.point, prev_point),
-            pdf_prev=jnp.where(live, pdf_s, pdf_prev),
-            prefix=jnp.where(l2, vec.finite_or_zero(prefix * factor / rr[:, None]), prefix),
-            radiance=jnp.where(l2, radiance, zero3),
+            ray_o=next_ray_o,
+            ray_d=next_ray_d,
+            ray_eta=next_eta,
+            pdf_prev=next_pdf,
+            prefix=next_prefix,
+            radiance=jnp.where(live[:, None], radiance, zero3),
             busy=live,
             cursor=cursor,
             image=image,

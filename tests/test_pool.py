@@ -46,6 +46,56 @@ def test_pool_slot_count_invariance():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-2)
 
 
+def test_pool_matches_wavefront_f64():
+    """The sample-for-sample identity claim (pool.py docstring) at a tolerance
+    that would catch an estimator divergence: in f64 the only pool-vs-wave
+    difference left is the trace-at-top MIS algebra's rounding, orders below
+    any real estimator bug. The f32 tests above only bound accumulation-order
+    noise. Runs in a subprocess because x64 is a process-global switch."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import json
+import jax.numpy as jnp
+import numpy as np
+from pathtrace_tpu.models import scenes
+from pathtrace_tpu.pool import render_pool
+from pathtrace_tpu.render import RenderConfig, render
+
+W = H = 12
+SPP = 2
+sc = jax.tree_util.tree_map(
+    lambda a: a.astype(jnp.float64) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+    scenes.cornell_box(),
+)
+cam = scenes.cornell_camera(W, H)
+cam = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), cam)
+ref = render(sc, cam, RenderConfig(width=W, height=H, spp=SPP, integrator="mis",
+                                   max_bounces=8, seed=3, samples_per_batch=SPP))
+img, rays, iters = render_pool(sc, cam, width=W, height=H, spp=SPP,
+                               integrator="mis", max_bounces=8, num_slots=37, seed=3)
+a = np.asarray(img).reshape(H, W, 3)
+b = np.asarray(ref.image_sum)
+denom = np.maximum(np.abs(b), 1.0)
+print(json.dumps({"max_rel": float(np.max(np.abs(a - b) / denom))}))
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env, check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    max_rel = json.loads(out.stdout.strip().splitlines()[-1])["max_rel"]
+    assert max_rel <= 1e-6, f"pool vs wave diverged in f64: max_rel={max_rel}"
+
+
 def test_pool_glass_scene_finite():
     sc = scenes.many_spheres(n_per_side=3)
     cam = scenes.many_spheres_camera(W, H)
