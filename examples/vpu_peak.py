@@ -22,29 +22,29 @@ import jax.numpy as jnp  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
-ROWS, LANES = 256, 1024
-K = 512  # fma-chain iterations per kernel call
+ROWS, LANES = 8, 512   # 4 vregs per chain value — all chains stay in registers
+CHAINS = 16            # independent chains to cover FMA latency
+K = 4096               # fma-chain iterations per kernel call
 
 
 def _kernel(x_ref, o_ref):
     x = x_ref[:, :]
-    a0 = x
-    a1 = x * 1.0001
-    a2 = x * 0.9999
-    a3 = x + 0.1
+    chains = tuple(x * (1.0 + 1e-4 * c) for c in range(CHAINS))
 
     def body(i, carry):
-        a0, a1, a2, a3 = carry
-        # 4 independent FMA chains (latency hiding); multipliers chosen so
-        # values stay finite.
-        a0 = a0 * 1.000001 + 0.5
-        a1 = a1 * 0.999999 - 0.5
-        a2 = a2 * 1.000002 + 0.25
-        a3 = a3 * 0.999998 - 0.25
-        return a0, a1, a2, a3
+        # Independent register-resident FMA chains; multipliers keep values
+        # finite. (A single big block spills to VMEM and measures bandwidth,
+        # not ALU issue — the first version of this probe made that mistake.)
+        return tuple(
+            a * (1.0 + 1e-6 * (c + 1)) + 0.5 * (1 if c % 2 == 0 else -1)
+            for c, a in enumerate(carry)
+        )
 
-    a0, a1, a2, a3 = jax.lax.fori_loop(0, K, body, (a0, a1, a2, a3))
-    o_ref[:, :] = a0 + a1 + a2 + a3
+    chains = jax.lax.fori_loop(0, K, body, chains)
+    acc = chains[0]
+    for a in chains[1:]:
+        acc = acc + a
+    o_ref[:, :] = acc
 
 
 @functools.partial(jax.jit)
@@ -70,7 +70,7 @@ def main():
         float(jnp.sum(outs[-1]))
         dt = (time.perf_counter() - t0) / reps
         best = min(best, dt)
-    fmas = ROWS * LANES * K * 4
+    fmas = ROWS * LANES * K * CHAINS
     print(
         f"per-call {best*1e6:.1f} us  "
         f"FMA/s {fmas/best:.3e}  f32 flops/s {2*fmas/best:.3e}"

@@ -423,8 +423,9 @@ def _fused_bounce_kernel(
     busy_ref, bounce_ref, o_ref, d_ref, eta_ref, pdfp_ref, pfx_ref, u_ref,
     sph_ref, tri_ref, lgt_ref,
     rad_ref, no_ref, nd_ref, neta_ref, npdf_ref, npfx_ref, live_ref, shade_ref,
+    dir_ref, sd_ref, st_ref,
     *, num_tris, num_lights, max_bounces, use_mis, use_nee, has_mirror,
-    eps, rr_min_depth, rr_max_depth,
+    eps, rr_min_depth, rr_max_depth, fuse_shadow, sections,
 ):
     busy = busy_ref[0:1, :] != 0
     bounce = bounce_ref[0:1, :]
@@ -536,7 +537,7 @@ def _fused_bounce_kernel(
     if not (use_mis or use_nee):  # brdf_only: visible at any depth
         emis_gain = m_emi
     else:
-        if use_mis and num_lights > 0:
+        if use_mis and num_lights > 0 and "emis" in sections:
             # Light row of the hit primitive (MIS bsdf-side pdf query,
             # rendering.rs:113-121; NOT divided by num_lights — the quirk).
             lp = lgt_ref[:, _LC_PRIM : _LC_PRIM + 1]
@@ -590,7 +591,7 @@ def _fused_bounce_kernel(
     u6 = u_ref[6:7, :]
 
     # ================= 3. NEE + shadow any-hit =============================
-    if use_nee and num_lights > 0:
+    if use_nee and num_lights > 0 and "nee" in sections:
         lidx = jnp.minimum(
             (u0 * num_lights).astype(jnp.int32), num_lights - 1
         )
@@ -668,46 +669,53 @@ def _fused_bounce_kernel(
 
         # Shadow any-hit sweep over both classes, t in [eps, dist - eps]
         # (rendering.rs:62-65). Same hit criteria as the closest sweeps.
-        so = point
-        sd = ldir
-        s_tmax = ldist - eps
-        sod = _dot3(so, sd)
-        soo = _dot3(so, so)
-        s_cd = cx * sd[0] + cy * sd[1] + cz * sd[2]
-        s_co = cx * so[0] + cy * so[1] + cz * so[2]
-        s_hb = sod - s_cd
-        s_ct = soo - 2.0 * s_co + kq
-        s_disc = s_hb * s_hb - s_ct
-        s_sq = jnp.sqrt(s_disc)
-        s_r1 = -s_hb - s_sq
-        s_tc = jnp.where(s_r1 >= eps, s_r1, -s_hb + s_sq)
-        s_ok = (s_tc >= eps) & (s_tc <= s_tmax)
-        occ_s = jnp.max(jnp.where(s_ok, 1.0, 0.0), axis=0, keepdims=True)
+        # Only when fuse_shadow: by this point the kernel's register file is
+        # crowded and the in-kernel sweep measured 134 us vs 61 us for the
+        # standalone any-hit kernel — the split (shadow ray exported, swept
+        # by ops/pallas_intersect.any_hit, visibility applied in XLA) wins.
+        if fuse_shadow and "shadow" in sections:
+            so = point
+            sd = ldir
+            s_tmax = ldist - eps
+            sod = _dot3(so, sd)
+            soo = _dot3(so, so)
+            s_cd = cx * sd[0] + cy * sd[1] + cz * sd[2]
+            s_co = cx * so[0] + cy * so[1] + cz * so[2]
+            s_hb = sod - s_cd
+            s_ct = soo - 2.0 * s_co + kq
+            s_disc = s_hb * s_hb - s_ct
+            s_sq = jnp.sqrt(s_disc)
+            s_r1 = -s_hb - s_sq
+            s_tc = jnp.where(s_r1 >= eps, s_r1, -s_hb + s_sq)
+            s_ok = (s_tc >= eps) & (s_tc <= s_tmax)
+            occ_s = jnp.max(jnp.where(s_ok, 1.0, 0.0), axis=0, keepdims=True)
 
-        shx = sd[1] * e2[2] - sd[2] * e2[1]
-        shy = sd[2] * e2[0] - sd[0] * e2[2]
-        shz = sd[0] * e2[1] - sd[1] * e2[0]
-        sa = e1[0] * shx + e1[1] * shy + e1[2] * shz
-        sf = 1.0 / sa
-        ssx = so[0] - v0[0]; ssy = so[1] - v0[1]; ssz = so[2] - v0[2]
-        su = sf * (ssx * shx + ssy * shy + ssz * shz)
-        sqx = ssy * e1[2] - ssz * e1[1]
-        sqy = ssz * e1[0] - ssx * e1[2]
-        sqz = ssx * e1[1] - ssy * e1[0]
-        sv = sf * (sd[0] * sqx + sd[1] * sqy + sd[2] * sqz)
-        st = sf * (e2[0] * sqx + e2[1] * sqy + e2[2] * sqz)
-        s_ok_t = (
-            (jnp.abs(sa) >= 1e-8)
-            & (su >= 0.0) & (su <= 1.0)
-            & (sv >= 0.0) & (su + sv <= 1.0)
-            & (st >= eps) & (st <= s_tmax)
-        )
-        occ_t = jnp.max(jnp.where(s_ok_t, 1.0, 0.0), axis=0, keepdims=True)
-        blocked = (occ_s + occ_t) > 0.0
+            shx = sd[1] * e2[2] - sd[2] * e2[1]
+            shy = sd[2] * e2[0] - sd[0] * e2[2]
+            shz = sd[0] * e2[1] - sd[1] * e2[0]
+            sa = e1[0] * shx + e1[1] * shy + e1[2] * shz
+            sf = 1.0 / sa
+            ssx = so[0] - v0[0]; ssy = so[1] - v0[1]; ssz = so[2] - v0[2]
+            su = sf * (ssx * shx + ssy * shy + ssz * shz)
+            sqx = ssy * e1[2] - ssz * e1[1]
+            sqy = ssz * e1[0] - ssx * e1[2]
+            sqz = ssx * e1[1] - ssy * e1[0]
+            sv = sf * (sd[0] * sqx + sd[1] * sqy + sd[2] * sqz)
+            st = sf * (e2[0] * sqx + e2[1] * sqy + e2[2] * sqz)
+            s_ok_t = (
+                (jnp.abs(sa) >= 1e-8)
+                & (su >= 0.0) & (su <= 1.0)
+                & (sv >= 0.0) & (su + sv <= 1.0)
+                & (st >= eps) & (st <= s_tmax)
+            )
+            occ_t = jnp.max(jnp.where(s_ok_t, 1.0, 0.0), axis=0, keepdims=True)
+            blocked = (occ_s + occ_t) > 0.0
+        else:
+            blocked = ldist < 0.0  # split mode: visibility resolved outside
 
         cos_l = jnp.abs(_dot3(normal, ldir))
         lam_b, lam_p = _eval_lambert(m_col, ldir, normal)
-        if has_mirror:
+        if has_mirror and "neeeval" in sections:
             mir_b, mir_p = _eval_mirror(
                 m_col, m_rough, m_metal, m_ior, i3, ldir, normal, eta_in
             )
@@ -734,14 +742,22 @@ def _fused_bounce_kernel(
             w_nee * bsdf_l[2] * p_emi[2] * cscale,
         )
         direct = _forz3(_where3(blocked, (0.0 * ox,) * 3, direct))
+        sdir = ldir
+        # Shadow t_max for the external sweep; lanes that cannot contribute
+        # (not shading) get an empty range so the any-hit settles them free.
+        stmax = jnp.where(shade, ldist - eps, -1.0)
     else:
         direct = (0.0 * ox,) * 3
+        sdir = (0.0 * ox + 1.0,) * 3
+        stmax = 0.0 * ox - 1.0
 
     # ================= 4. BSDF sample + RR + state update ==================
     eta_s = jnp.where(front_face, 1.0 / m_ior, m_ior)
     d_diff = _cosine_hemisphere(normal, u3, u4)
     lam_b, lam_p = _eval_lambert(m_col, d_diff, normal)
     cos_diff = jnp.maximum(_dot3(d_diff, normal), 0.0)
+    if "sample" not in sections:  # profiling knob only
+        has_mirror = False
     if has_mirror:
         mo, mb, mp, mc = _sample_mirror(
             m_col, m_rough, m_metal, m_ior, i3, normal, eta_s, u3, u4, u5
@@ -777,10 +793,19 @@ def _fused_bounce_kernel(
     live = shade & survive
 
     # Quirk 1: NEE direct only counts when RR survives (rendering.rs:100-102).
-    dgain = _forz3(
-        (pfx[0] * direct[0], pfx[1] * direct[1], pfx[2] * direct[2])
-    )
-    rad = _add3(rad, _where3(live, dgain, (0.0 * ox,) * 3))
+    if fuse_shadow:
+        # Visibility already applied; fold the NEE gain into rad_delta.
+        dgain = _forz3(
+            (pfx[0] * direct[0], pfx[1] * direct[1], pfx[2] * direct[2])
+        )
+        rad = _add3(rad, _where3(live, dgain, (0.0 * ox,) * 3))
+        dout = (0.0 * ox,) * 3
+    else:
+        # Split mode: export prefix·direct; the caller masks by the external
+        # any-hit's visibility AND `live` before adding (same quirk).
+        dout = _forz3(
+            (pfx[0] * direct[0], pfx[1] * direct[1], pfx[2] * direct[2])
+        )
 
     new_pfx = _forz3(
         (next_tp[0] / rr, next_tp[1] / rr, next_tp[2] / rr)
@@ -789,6 +814,16 @@ def _fused_bounce_kernel(
     rad_ref[0:1, :] = rad[0]
     rad_ref[1:2, :] = rad[1]
     rad_ref[2:3, :] = rad[2]
+    dir_ref[0:1, :] = dout[0]
+    dir_ref[1:2, :] = dout[1]
+    dir_ref[2:3, :] = dout[2]
+    sd_ref[0:1, :] = sdir[0]
+    sd_ref[1:2, :] = sdir[1]
+    sd_ref[2:3, :] = sdir[2]
+    # Quirk 1 again: only RR survivors collect NEE, so only they need the
+    # external visibility sweep — everyone else gets an empty [eps, -1] range
+    # the any-hit kernel settles for free.
+    st_ref[:, :] = jnp.where(live, stmax, -1.0)
     no_ref[0:1, :] = jnp.where(live, point[0], ox)
     no_ref[1:2, :] = jnp.where(live, point[1], oy)
     no_ref[2:3, :] = jnp.where(live, point[2], oz)
@@ -880,20 +915,25 @@ def build_tables(scene: Scene) -> FusedTables:
 
 class BounceResult(NamedTuple):
     rad_delta: jnp.ndarray   # (N, 3) radiance gained this bounce (pre-masked)
-    next_o: jnp.ndarray      # (N, 3)
+    next_o: jnp.ndarray      # (N, 3) == hit point for live lanes (also the
+    #                          shadow-ray origin in split mode)
     next_d: jnp.ndarray      # (N, 3)
     next_eta: jnp.ndarray    # (N,)
     next_pdf: jnp.ndarray    # (N,)
     next_prefix: jnp.ndarray  # (N, 3)
     live: jnp.ndarray        # (N,) bool
     shade: jnp.ndarray       # (N,) bool
+    # Split mode (fuse_shadow=False) only — zeros otherwise:
+    nee_gain: jnp.ndarray    # (N, 3) prefix-direct, pending visibility mask
+    shadow_d: jnp.ndarray    # (N, 3) shadow-ray direction
+    shadow_tmax: jnp.ndarray  # (N,) shadow range end; < 0 for lanes w/o NEE
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_tris", "num_lights", "integrator", "max_bounces", "eps",
-        "interpret", "ray_tile",
+        "interpret", "ray_tile", "fuse_shadow", "sections",
     ),
 )
 def fused_bounce(
@@ -907,12 +947,17 @@ def fused_bounce(
     eps: float = 1e-3,
     interpret: bool = False,
     ray_tile: int = RAY_TILE,
+    fuse_shadow: bool = False,
+    sections: frozenset = frozenset({"emis", "nee", "neeeval", "shadow", "sample"}),
 ) -> BounceResult:
     """One full path-vertex step for a wave (see module docstring).
 
     ``uniforms`` is the (N, 8) per-bounce draw vector (utils/rng.py slots).
     ``num_tris`` must be the scene's PADDED triangle row count — the global
     prim-id base for spheres (models/scene.py id convention).
+    ``sections`` is a PROFILING-ONLY knob (examples/profile_fused.py): a
+    subset disables parts of the kernel to attribute its cost; production
+    callers must pass the default full set.
     """
     n = busy.shape[0]
     n_pad = _cdiv(n, ray_tile) * ray_tile
@@ -953,6 +998,8 @@ def fused_bounce(
             eps=eps,
             rr_min_depth=4,
             rr_max_depth=50,
+            fuse_shadow=fuse_shadow,
+            sections=sections,
         ),
         grid=grid,
         in_specs=[
@@ -964,7 +1011,7 @@ def fused_bounce(
         ],
         out_specs=[
             spec(3), spec(3), spec(3), spec(1), spec(1), spec(3), spec(1),
-            spec(1),
+            spec(1), spec(3), spec(3), spec(1),
         ],
         out_shape=[
             out_struct((3, n_pad), dtype),
@@ -975,11 +1022,14 @@ def fused_bounce(
             out_struct((3, n_pad), dtype),
             out_struct((1, n_pad), jnp.int32),
             out_struct((1, n_pad), jnp.int32),
+            out_struct((3, n_pad), dtype),
+            out_struct((3, n_pad), dtype),
+            out_struct((1, n_pad), dtype),
         ],
         interpret=interpret,
     )(busy_p, bounce_p, o_t, d_t, eta_p, pdfp_p, pfx_t, u_t,
       tables.sph, tables.tri, tables.lgt)
-    rad, no, nd, neta, npdf, npfx, live, shade = outs
+    rad, no, nd, neta, npdf, npfx, live, shade, dgain, sdir, stmax = outs
     return BounceResult(
         rad_delta=rad[:, :n].T,
         next_o=no[:, :n].T,
@@ -989,4 +1039,7 @@ def fused_bounce(
         next_prefix=npfx[:, :n].T,
         live=live[0, :n] != 0,
         shade=shade[0, :n] != 0,
+        nee_gain=dgain[:, :n].T,
+        shadow_d=sdir[:, :n].T,
+        shadow_tmax=stmax[0, :n],
     )

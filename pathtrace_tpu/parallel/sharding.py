@@ -310,6 +310,116 @@ def _frames_sharded_sum(
     )(scene, cams, ids, sample_starts)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "width", "height", "spp", "integrator", "max_bounces",
+        "num_slots", "seed",
+    ),
+)
+def _frames_pool_sum(
+    scene: Scene,
+    cams: Camera,
+    *,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    spp: int,
+    integrator: str,
+    max_bounces: int,
+    num_slots: int,
+    seed: int,
+):
+    """Radiance sums for a stacked camera batch on the *production pool*
+    engine: frames shard over ``dp`` (each device scans its local frames,
+    running a full persistent-pool render per frame, all in ONE dispatch) and
+    sample groups shard over ``sp`` with a psum merge. Returns
+    ``(accs (F, H*W, 3), counters (F, sp, 4), iters (F, sp))``."""
+    sp = mesh.shape["sp"]
+    if spp % sp:
+        raise ValueError(f"spp={spp} must divide by sample-axis size {sp}")
+    dp = mesh.shape["dp"]
+    num_pixels = width * height
+    # Zero pixel offsets carried as a dp-sharded vector purely so each
+    # device's _pool_loop carries pick up the dp varying axis (the loop
+    # derives every carry from its traced offsets — pool.py).
+    pixel_lo = jnp.zeros((dp,), jnp.int32)
+    sample_lo = jnp.arange(sp, dtype=jnp.int32) * (spp // sp)
+
+    scene_spec = jax.tree.map(lambda _: P(), scene)
+    cam_spec = jax.tree.map(lambda _: P("dp"), cams)
+
+    def local(scene, cams_local, plo, slo):
+        def one_frame(carry, cam):
+            img, rays, iters = _pool_loop(
+                scene,
+                cam,
+                plo[0],
+                slo[0],
+                width=width,
+                height=height,
+                total_pixels=num_pixels,
+                local_pixels=num_pixels,
+                spp=spp // sp,
+                integrator=integrator,
+                max_bounces=max_bounces,
+                num_slots=num_slots,
+                seed=seed,
+            )
+            return carry, (jax.lax.psum(img, "sp"), rays[None, :], iters[None])
+
+        _, (accs, rays, iters) = jax.lax.scan(one_frame, 0, cams_local)
+        return accs, rays, iters
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(scene_spec, cam_spec, P("dp"), P("sp")),
+        out_specs=(P("dp"), P("dp", "sp"), P("dp", "sp")),
+    )(scene, cams, pixel_lo, sample_lo)
+
+
+def frames_pool_sharded(
+    scene: Scene,
+    cameras,
+    config,
+    mesh: Optional[Mesh] = None,
+    num_slots: int = 32768,
+):
+    """Batched animation on the production pool engine (BASELINE config 5).
+
+    Replaces the wave-integrator ``frames_sharded`` for throughput work: the
+    pool renderer is several times faster at production sizes (its occupancy
+    does not collapse with the wave tail), and the whole sweep still runs as
+    one dispatch — frames over ``dp``, sample windows over ``sp``.
+
+    Returns ``(frames (F, H, W, 3) mean radiance, counters, iters)``;
+    aggregate counters with :func:`pathtrace_tpu.pool.ray_count`.
+    """
+    mesh = mesh or make_mesh()
+    dp = mesh.shape["dp"]
+    cameras = list(cameras)
+    n_frames = len(cameras)
+    pad = (-n_frames) % dp
+    cams = stack_cameras(cameras + [cameras[-1]] * pad)
+    w, h = config.width, config.height
+    slots = min(num_slots, w * h)
+    acc, rays, iters = _frames_pool_sum(
+        scene,
+        cams,
+        mesh=mesh,
+        width=w,
+        height=h,
+        spp=config.spp,
+        integrator=config.integrator,
+        max_bounces=config.max_bounces,
+        num_slots=slots,
+        seed=config.seed,
+    )
+    frames = acc[:n_frames].reshape(n_frames, h, w, 3) / config.spp
+    return frames, rays[:n_frames], iters[:n_frames]
+
+
 def frames_sharded(
     scene: Scene,
     cameras,

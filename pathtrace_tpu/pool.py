@@ -252,7 +252,12 @@ def _pool_loop(
         u = _per_slot_uniforms(keys, bounce, dtype)
 
         if fused:
-            # ---- One bounce for every busy slot: single megakernel ----
+            # ---- One bounce for every busy slot: megakernel + any-hit ----
+            # The megakernel runs closest hit, material resolve, emissive MIS,
+            # the NEE light sample/eval and the BSDF sample; the NEE shadow
+            # sweep stays in the standalone any-hit kernel (running it inside
+            # the crowded megakernel measured 134 us vs 61 us standalone) and
+            # its visibility mask is applied here.
             res = pallas_shade.fused_bounce(
                 fused_tables, busy, bounce, ray_o, ray_d, ray_eta, pdf_prev,
                 prefix, u,
@@ -264,6 +269,14 @@ def _pool_loop(
                 interpret=method == "pallas_interpret",
             )
             radiance = radiance + res.rad_delta
+            if use_nee and scene.num_lights > 0:
+                blocked = occluded(
+                    scene, res.next_o, res.shadow_d, EPS, res.shadow_tmax,
+                    method=method,
+                )
+                radiance = radiance + jnp.where(
+                    (res.live & ~blocked)[:, None], res.nee_gain, 0.0
+                )
             shade = res.shade
             live = res.live
             next_ray_o, next_ray_d = res.next_o, res.next_d

@@ -7,6 +7,7 @@ import pytest
 
 from pathtrace_tpu.models import scenes
 from pathtrace_tpu.parallel.sharding import (
+    frames_pool_sharded,
     frames_sharded,
     make_mesh,
     render_pool_sharded,
@@ -82,6 +83,82 @@ def test_pool_sharded_nondividing_pixels(scene, camera):
     assert ray_count(rays) == ray_count(ref_rays)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pool_sharded_weak_scaling(scene, camera):
+    """Weak-scaling evidence on the virtual mesh: with dp devices each owning
+    1/dp of the pixels, per-device pool iteration counts must drop ~1/dp of
+    the single-device count (each device's work queue is 1/dp as long; the
+    tolerance covers per-window path-length variance and drain tails)."""
+    kw = dict(width=W, height=H, spp=8, integrator="mis", max_bounces=6,
+              num_slots=32, seed=4)
+    _, _, ref_iters = render_pool(scene, camera, **kw)
+    ref = int(ref_iters)
+    for dp in (2, 4, 8):
+        mesh = make_mesh(jax.devices()[:dp], dp=dp, sp=1)
+        _, rays, iters = render_pool_sharded(scene, camera, mesh=mesh, **kw)
+        per_dev = np.asarray(iters).reshape(-1)
+        assert per_dev.shape == (dp,)
+        # Each device's iterations ~ ref/dp; bound loosely but meaningfully.
+        assert per_dev.max() <= 0.25 * ref + ref / dp * 1.6, (dp, ref, per_dev)
+        assert per_dev.min() >= ref / dp * 0.4, (dp, ref, per_dev)
+
+
+def test_pool_sharded_checkpoint_resume(scene, camera):
+    """Sharded checkpoint/resume: two sharded passes over disjoint sample
+    windows (the checkpoint boundary) must reproduce the one-pass sharded
+    render — same traced sample set, exact ray-count additivity."""
+    mesh = make_mesh(jax.devices()[:4], dp=2, sp=2)
+    kw = dict(width=W, height=H, integrator="mis", max_bounces=6,
+              num_slots=64, seed=11)
+    full_img, full_rays, _ = render_pool_sharded(
+        scene, camera, mesh=mesh, spp=8, **kw
+    )
+    a_img, a_rays, _ = render_pool_sharded(
+        scene, camera, mesh=mesh, spp=4, sample_offset=0, **kw
+    )
+    b_img, b_rays, _ = render_pool_sharded(
+        scene, camera, mesh=mesh, spp=4, sample_offset=4, **kw
+    )
+    assert ray_count(a_rays) + ray_count(b_rays) == ray_count(full_rays)
+    np.testing.assert_allclose(
+        np.asarray(a_img) + np.asarray(b_img), np.asarray(full_img),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_frames_pool_matches_per_frame_pool(scene):
+    """Config-5 production path: the one-dispatch pool frame batch must trace
+    the identical sample set as per-frame single-device pool renders — exact
+    per-frame ray counts, images equal up to accumulation order."""
+    import dataclasses
+
+    from pathtrace_tpu.models import scenes as _scenes
+
+    base = scenes.cornell_camera(W, H)
+    cams = [
+        dataclasses.replace(base, origin=base.origin + jnp.asarray([0.02 * i, 0.0, 0.0]))
+        for i in range(3)
+    ]
+    cfg = RenderConfig(width=W, height=H, spp=4, integrator="mis",
+                       max_bounces=5, seed=3)
+    frames, rays, iters = frames_pool_sharded(
+        scene, cams, cfg, make_mesh(dp=4, sp=2), num_slots=64
+    )
+    assert frames.shape == (3, H, W, 3)
+    assert rays.shape[0] == 3 and iters.shape[0] == 3
+    for i, cam in enumerate(cams):
+        ref_img, ref_rays, _ = render_pool(
+            scene, cam, width=W, height=H, spp=cfg.spp, integrator="mis",
+            max_bounces=5, num_slots=64, seed=3,
+        )
+        assert ray_count(rays[i]) == ray_count(ref_rays)
+        np.testing.assert_allclose(
+            np.asarray(frames[i]).reshape(-1, 3),
+            np.asarray(ref_img) / cfg.spp,
+            rtol=1e-5, atol=1e-5,
+        )
+    assert np.abs(np.asarray(frames[0]) - np.asarray(frames[2])).max() > 1e-4
 
 
 def test_frames_batched_matches_per_frame_render(scene):
