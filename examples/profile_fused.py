@@ -134,10 +134,60 @@ def sections():
         timeit(name, fn, (o, d))
 
 
+
+def glue():
+    """Time the per-iteration XLA glue pieces at pool scale."""
+    from pathtrace_tpu.utils import rng as rng_ops
+    from pathtrace_tpu.models import scenes as _scenes
+
+    S = 16384
+    key = jax.random.PRNGKey(0)
+    base = rng_ops.base_key(0)
+    pixel = jax.random.randint(key, (S,), 0, 1 << 20)
+    sample = jax.random.randint(jax.random.fold_in(key, 1), (S,), 0, 64)
+    bounce = jax.random.randint(jax.random.fold_in(key, 2), (S,), 0, 8)
+    cam = _scenes.many_spheres_camera(1920, 1080)
+    jax.block_until_ready((pixel, sample, bounce))
+
+    def keys_fn(p, s):
+        p = p.astype(jnp.int32)
+        return jax.random.key_data(rng_ops.pixel_sample_keys(base, p, s))
+
+    def keys_jitter_fn(p, s):
+        p = p.astype(jnp.int32)
+        k = rng_ops.pixel_sample_keys(base, p, s)
+        return rng_ops.primary_jitter(k)
+
+    def keys_jitter_raygen_fn(p, s):
+        p = p.astype(jnp.int32)
+        k = rng_ops.pixel_sample_keys(base, p, s)
+        j = rng_ops.primary_jitter(k)
+        o, d = cam.generate_rays(p % 1920, 1079 - p // 1920, j)
+        return o + d
+
+    def uniforms_fn(p, s):
+        p = p.astype(jnp.int32)
+        k = rng_ops.pixel_sample_keys(base, p, s)
+        def draw(kk, b):
+            return jax.random.uniform(jax.random.fold_in(kk, b), (rng_ops.NUM_SLOTS,))
+        return jax.vmap(draw)(k, bounce)
+
+    for name, fn in [
+        ("keys (2x fold_in)", keys_fn),
+        ("keys+jitter", keys_jitter_fn),
+        ("keys+jitter+raygen", keys_jitter_raygen_fn),
+        ("keys+uniforms(8)", uniforms_fn),
+    ]:
+        f = jax.jit(lambda p, s, fn=fn: fn(p, s))
+        timeit(name, f, (pixel, sample))
+
+
 if __name__ == "__main__":
     import sys
 
     if "--sections" in sys.argv:
         sections()
+    elif "--glue" in sys.argv:
+        glue()
     else:
         main()

@@ -92,16 +92,34 @@ class Camera:
         llc = origin - horizontal / 2.0 - vertical / 2.0 - w * screen_distance
         return cls(origin, llc, horizontal, vertical, width, height)
 
-    def generate_rays(self, px: jnp.ndarray, py: jnp.ndarray, jitter: jnp.ndarray):
+    def generate_rays(self, px: jnp.ndarray, py: jnp.ndarray, jitter: jnp.ndarray,
+                      transposed: bool = False):
         """Primary rays for pixel coords ``px, py`` (already y-flipped by the
         caller) with sub-pixel ``jitter`` of shape ``(N, 2)`` in [0,1).
 
-        Returns ``(origins (N,3), directions (N,3))`` with unit directions
-        (Ray::new normalizes, camera.rs:13).
+        Returns ``(origins, directions)`` with unit directions (Ray::new
+        normalizes, camera.rs:13) — shape ``(N, 3)``, or ``(3, N)`` kernel
+        layout when ``transposed`` (identical per-component arithmetic, so
+        the ray values match the untransposed call bit-for-bit).
         """
         dtype = self.origin.dtype
         u = (px.astype(dtype) + jitter[:, 0]) / (self.width - 1)
         v = (py.astype(dtype) + jitter[:, 1]) / (self.height - 1)
+        if transposed:
+            comps = [
+                self.lower_left_corner[c]
+                + self.horizontal[c] * u
+                + self.vertical[c] * v
+                - self.origin[c]
+                for c in range(3)
+            ]
+            direction = jnp.stack(comps, axis=0)          # (3, N)
+            ln = jnp.sqrt(sum(c * c for c in comps))
+            safe = jnp.where(ln > 0.0, ln, 1.0)
+            direction = jnp.where(ln[None, :] > 0.0, direction / safe[None, :],
+                                  direction)
+            origins = jnp.broadcast_to(self.origin[:, None], direction.shape)
+            return origins, direction
         direction = (
             self.lower_left_corner
             + self.horizontal * u[:, None]

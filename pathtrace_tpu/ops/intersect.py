@@ -624,3 +624,41 @@ def occluded(
             occ = occ != 0
         return occ
     return intersect(scene, o, d, t_min, t_max, tile=tile, method=method).valid
+
+
+def occluded_transposed(
+    scene: Scene, o_t, d_t, t_min, t_max, method: str = "auto"
+) -> jnp.ndarray:
+    """Kernel-layout :func:`occluded`: ``o_t``/``d_t`` are (3, N), ranges
+    scalar or (N,), result (N,) bool — no pad/transpose traffic on the way
+    into the any-hit kernel. Used by the pool's fused path, whose state
+    lives in kernel layout; small scenes only (no ray sorting)."""
+    if method == "auto":
+        method = default_method()
+    if method not in ("pallas", "pallas_interpret"):
+        return occluded(scene, o_t.T, d_t.T, t_min, t_max, method=method)
+    from . import pallas_intersect as pk
+    from ..models.scene import SPH_CLUSTER_SIZE
+
+    t_rows_real = scene.tri_v0.shape[0]
+    s_rows = scene.sph_center.shape[0]
+    sph_onetile = s_rows <= 512
+    tri_onetile = t_rows_real <= 64
+    return pk.any_hit(
+        o_t, d_t, t_min, t_max,
+        scene.sph_center, scene.sph_radius,
+        scene.tri_v0, scene.tri_e1, scene.tri_e2,
+        sph_cluster=(
+            None if sph_onetile
+            else (scene.sph_cluster_min, scene.sph_cluster_max)
+        ),
+        tri_cluster=(
+            None if tri_onetile
+            else (scene.tri_cluster_min, scene.tri_cluster_max)
+        ),
+        sph_prim_tile=_round_tile(s_rows, 8) if sph_onetile else SPH_CLUSTER_SIZE,
+        tri_prim_tile=_round_tile(t_rows_real, 8) if tri_onetile else 256,
+        ray_tile=1024 if t_rows_real <= 8192 else 256,
+        transposed=True,
+        interpret=method == "pallas_interpret",
+    )

@@ -825,11 +825,12 @@ def _anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, c_ref, k_ref, tri_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "ray_tile", "prim_tile", "sph_prim_tile", "tri_prim_tile"))
+    "interpret", "ray_tile", "prim_tile", "sph_prim_tile", "tri_prim_tile",
+    "transposed"))
 def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
             sph_cluster=None, tri_cluster=None,
             interpret=False, ray_tile=256, prim_tile=PRIM_TILE,
-            sph_prim_tile=None, tri_prim_tile=None):
+            sph_prim_tile=None, tri_prim_tile=None, transposed=False):
     # ray_tile default is half the closest-hit kernels': this kernel holds
     # BOTH primitive classes' tile temporaries in VMEM at once, and wide
     # tiles blow the 16 MB scoped-vmem budget on 70k-triangle scenes.
@@ -847,7 +848,7 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
     """
     sph_prim_tile = sph_prim_tile or prim_tile
     tri_prim_tile = tri_prim_tile or prim_tile
-    n = o.shape[0]
+    n = o.shape[1] if transposed else o.shape[0]
     n_pad = _cdiv(n, ray_tile) * ray_tile
     s_pad = _cdiv(centers.shape[0], sph_prim_tile) * sph_prim_tile
     t_rows = _cdiv(v0.shape[0], tri_prim_tile) * tri_prim_tile
@@ -856,10 +857,28 @@ def any_hit(o, d, t_min, t_max, centers, radius, v0, e1, e2,
     sph_krows = _cdiv(sph_tiles, KEY_LANES)
     tri_krows = _cdiv(tri_tiles, KEY_LANES)
 
-    o_t = _pad_rows(o, n_pad).T
-    d_t = _pad_rows(d, n_pad, fill=1.0).T
-    tmin_r = _pad_rows(jnp.broadcast_to(t_min, (n,))[:, None], n_pad, fill=1.0).T
-    tmax_r = _pad_rows(jnp.broadcast_to(t_max, (n,))[:, None], n_pad).T
+    if transposed:
+        # Kernel-layout inputs: o/d (3, N), ranges (N,) — the production
+        # pool's zero-transpose shadow path. Lane padding (for small pools)
+        # keeps pads settled via an empty [1, 0] range.
+        def lane_pad(a, fill):
+            pad = n_pad - a.shape[-1]
+            if pad == 0:
+                return a
+            return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)],
+                           constant_values=fill)
+
+        o_t = lane_pad(o, 0.0)
+        d_t = lane_pad(d, 1.0)
+        tmin_r = lane_pad(jnp.broadcast_to(t_min, (n,))[None, :], 1.0)
+        tmax_r = lane_pad(jnp.broadcast_to(t_max, (n,))[None, :], 0.0)
+    else:
+        o_t = _pad_rows(o, n_pad).T
+        d_t = _pad_rows(d, n_pad, fill=1.0).T
+        tmin_r = _pad_rows(
+            jnp.broadcast_to(t_min, (n,))[:, None], n_pad, fill=1.0
+        ).T
+        tmax_r = _pad_rows(jnp.broadcast_to(t_max, (n,))[:, None], n_pad).T
     c_p = _pad_rows(centers, s_pad, fill=1e9)
     k_p = _pad_rows(
         jnp.where(

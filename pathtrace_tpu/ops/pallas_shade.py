@@ -933,7 +933,7 @@ class BounceResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "num_tris", "num_lights", "integrator", "max_bounces", "eps",
-        "interpret", "ray_tile", "fuse_shadow", "sections",
+        "interpret", "ray_tile", "fuse_shadow", "transposed", "sections",
     ),
 )
 def fused_bounce(
@@ -948,6 +948,7 @@ def fused_bounce(
     interpret: bool = False,
     ray_tile: int = RAY_TILE,
     fuse_shadow: bool = False,
+    transposed: bool = False,
     sections: frozenset = frozenset({"emis", "nee", "neeeval", "shadow", "sample"}),
 ) -> BounceResult:
     """One full path-vertex step for a wave (see module docstring).
@@ -955,25 +956,57 @@ def fused_bounce(
     ``uniforms`` is the (N, 8) per-bounce draw vector (utils/rng.py slots).
     ``num_tris`` must be the scene's PADDED triangle row count — the global
     prim-id base for spheres (models/scene.py id convention).
+    ``transposed``: inputs/outputs already in kernel layout — busy/bounce/
+    eta/pdf_prev as (S,), 3-vectors as (3, S), uniforms (8, S); S a ray_tile
+    multiple. The production pool uses this to keep its whole state in
+    kernel layout (zero per-iteration transposes).
     ``sections`` is a PROFILING-ONLY knob (examples/profile_fused.py): a
     subset disables parts of the kernel to attribute its cost; production
     callers must pass the default full set.
     """
-    n = busy.shape[0]
-    n_pad = _cdiv(n, ray_tile) * ray_tile
-    dtype = ray_o.dtype
-    use_mis = integrator == "mis"
-    use_nee = integrator in ("mis", "nee")
-    has_mirror = True  # lane gating decided by caller via supports_scene
+    if transposed:
+        # Caller keeps the whole pool state in kernel layout — (k, S) rows,
+        # rays on the lane axis — so no per-iteration pad/transpose traffic.
+        # (Lane padding only fires for small pools; production S is already
+        # a ray_tile multiple.)
+        n = busy.shape[0]
+        n_pad = _cdiv(n, ray_tile) * ray_tile
+        dtype = ray_o.dtype
+        use_mis = integrator == "mis"
+        use_nee = integrator in ("mis", "nee")
+        has_mirror = True
 
-    busy_p = _pad_rows(busy.astype(jnp.int32)[:, None], n_pad).T
-    bounce_p = _pad_rows(bounce[:, None], n_pad).T
-    o_t = _pad_rows(ray_o, n_pad).T
-    d_t = _pad_rows(ray_d, n_pad, fill=1.0).T
-    eta_p = _pad_rows(eta[:, None], n_pad, fill=1.0).T
-    pdfp_p = _pad_rows(pdf_prev[:, None], n_pad, fill=1.0).T
-    pfx_t = _pad_rows(prefix, n_pad).T
-    u_t = _pad_rows(uniforms, n_pad).T
+        def lane_pad(a, fill=0.0):
+            pad = n_pad - a.shape[-1]
+            if pad == 0:
+                return a
+            return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)],
+                           constant_values=fill)
+
+        busy_p = lane_pad(busy.astype(jnp.int32)[None, :], 0)
+        bounce_p = lane_pad(bounce[None, :], 0)
+        o_t = lane_pad(ray_o)
+        d_t = lane_pad(ray_d, 1.0)
+        pfx_t = lane_pad(prefix)
+        u_t = lane_pad(uniforms)
+        eta_p = lane_pad(eta[None, :], 1.0)
+        pdfp_p = lane_pad(pdf_prev[None, :], 1.0)
+    else:
+        n = busy.shape[0]
+        n_pad = _cdiv(n, ray_tile) * ray_tile
+        dtype = ray_o.dtype
+        use_mis = integrator == "mis"
+        use_nee = integrator in ("mis", "nee")
+        has_mirror = True  # lane gating decided by caller via supports_scene
+
+        busy_p = _pad_rows(busy.astype(jnp.int32)[:, None], n_pad).T
+        bounce_p = _pad_rows(bounce[:, None], n_pad).T
+        o_t = _pad_rows(ray_o, n_pad).T
+        d_t = _pad_rows(ray_d, n_pad, fill=1.0).T
+        eta_p = _pad_rows(eta[:, None], n_pad, fill=1.0).T
+        pdfp_p = _pad_rows(pdf_prev[:, None], n_pad, fill=1.0).T
+        pfx_t = _pad_rows(prefix, n_pad).T
+        u_t = _pad_rows(uniforms, n_pad).T
 
     grid = (n_pad // ray_tile,)
 
@@ -1030,6 +1063,20 @@ def fused_bounce(
     )(busy_p, bounce_p, o_t, d_t, eta_p, pdfp_p, pfx_t, u_t,
       tables.sph, tables.tri, tables.lgt)
     rad, no, nd, neta, npdf, npfx, live, shade, dgain, sdir, stmax = outs
+    if transposed:
+        return BounceResult(
+            rad_delta=rad[:, :n],
+            next_o=no[:, :n],
+            next_d=nd[:, :n],
+            next_eta=neta[0, :n],
+            next_pdf=npdf[0, :n],
+            next_prefix=npfx[:, :n],
+            live=live[0, :n] != 0,
+            shade=shade[0, :n] != 0,
+            nee_gain=dgain[:, :n],
+            shadow_d=sdir[:, :n],
+            shadow_tmax=stmax[0, :n],
+        )
     return BounceResult(
         rad_delta=rad[:, :n].T,
         next_o=no[:, :n].T,

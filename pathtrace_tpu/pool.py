@@ -42,7 +42,12 @@ from .models.scene import Scene
 from .ops import bsdf as bsdf_ops
 from .ops import lights as light_ops
 from .ops import pallas_shade
-from .ops.intersect import default_method, intersect, occluded
+from .ops.intersect import (
+    default_method,
+    intersect,
+    occluded,
+    occluded_transposed,
+)
 from .utils import rng as rng_ops
 from .utils import vec
 
@@ -100,13 +105,15 @@ class _PoolState(NamedTuple):
     busy_hi: jnp.ndarray    # scalar uint32
 
 
-def _per_slot_uniforms(keys, bounces, dtype):
+def _per_slot_uniforms(keys, bounces, dtype, transposed=False):
     def draw(k, b):
         return jax.random.uniform(
             jax.random.fold_in(k, b), (rng_ops.NUM_SLOTS,), dtype=dtype
         )
 
-    return jax.vmap(draw)(keys, bounces)
+    # out_axes=1 materializes the kernel-layout (NUM_SLOTS, S) draw directly;
+    # the VALUES per (slot, lane) coordinate are identical either way.
+    return jax.vmap(draw, out_axes=1 if transposed else 0)(keys, bounces)
 
 
 def _pool_loop(
@@ -150,6 +157,11 @@ def _pool_loop(
         and _FUSED_OVERRIDE is not False
     )
     fused_tables = pallas_shade.build_tables(scene) if fused else None
+    # Transposed layout: with the megakernel in play the pool keeps every
+    # 3-vector state array in kernel layout (3, S) — rays on the lane axis —
+    # so no per-iteration pad/transpose traffic feeds the kernels (the
+    # (S, 3) round trips measured ~10% of the iteration).
+    tl = fused
     num_pixels = local_pixels
     S = min(num_slots, num_pixels)
     chunks = -(-num_pixels // S)          # pixels per slot stream
@@ -177,7 +189,18 @@ def _pool_loop(
     izero = pixel_lo * 0 + sample_lo * 0               # traced int32 zero
     fzero = izero.astype(dtype)
 
-    zero3 = jnp.zeros((S, 3), dtype) + fzero
+    # 3-vector state shape and its (S,)-mask broadcaster, by layout.
+    v3shape = (3, S) if tl else (S, 3)
+
+    def m3(mask):
+        return mask[None, :] if tl else mask[:, None]
+
+    zero3 = jnp.zeros(v3shape, dtype) + fzero
+    init_d = (
+        jnp.concatenate([jnp.zeros((2, S), dtype), jnp.ones((1, S), dtype)], 0)
+        if tl else
+        jnp.concatenate([jnp.zeros((S, 2), dtype), jnp.ones((S, 1), dtype)], 1)
+    )
     slot_ids = jnp.arange(S, dtype=jnp.int32)
     chunk_iota = jnp.arange(chunks, dtype=jnp.int32)
     state = _PoolState(
@@ -186,17 +209,15 @@ def _pool_loop(
         sample=jnp.zeros((S,), jnp.int32) + izero,
         bounce=jnp.zeros((S,), jnp.int32) + izero,
         ray_o=zero3,
-        ray_d=jnp.concatenate(
-            [jnp.zeros((S, 2), dtype), jnp.ones((S, 1), dtype)], 1
-        ) + fzero[..., None],
+        ray_d=init_d + fzero,
         ray_eta=jnp.ones((S,), dtype) + fzero,
         pdf_prev=jnp.ones((S,), dtype) + fzero,
-        prefix=jnp.ones((S, 3), dtype) + fzero[..., None],
+        prefix=jnp.ones(v3shape, dtype) + fzero,
         radiance=zero3,
         busy=(slot_ids + izero) < 0,
         cursor=jnp.zeros((S,), jnp.int32) + izero,
-        image=jnp.zeros((chunks, S, 3), dtype) + fzero[..., None, None],
-        fbuf_rad=jnp.zeros((FLUSH_EVERY, S, 3), dtype) + fzero[..., None, None],
+        image=jnp.zeros((chunks,) + v3shape, dtype) + fzero,
+        fbuf_rad=jnp.zeros((FLUSH_EVERY,) + v3shape, dtype) + fzero,
         fbuf_chunk=jnp.full((FLUSH_EVERY, S), -1, jnp.int32) + izero[..., None],
         iters=jnp.int32(0) + izero,
         rays_lo=jnp.uint32(0) + izero.astype(jnp.uint32),
@@ -209,6 +230,8 @@ def _pool_loop(
         return jnp.any(s.busy) | jnp.any(s.cursor < work_per_slot)
 
     def body(s: _PoolState) -> _PoolState:
+        import os as _os
+        _ablate = _os.environ.get("PT_POOL_ABLATE", "")
         # ---- Refill: each free slot pulls the next item of its own stream ----
         free = ~s.busy
         refill = free & (s.cursor < work_per_slot)
@@ -234,13 +257,33 @@ def _pool_loop(
         sample = jnp.where(started, new_sample, s.sample)
         keys = rng_ops.pixel_sample_keys(base, pixel, sample)
 
-        jitter = rng_ops.primary_jitter(keys, dtype=dtype)
-        px = pixel % width
-        py = pixel // width
-        cam_o, cam_d = camera.generate_rays(px, (height - 1) - py, jitter)
+        # One (NUM_SLOTS, S) draw per iteration covers every stochastic
+        # decision of this bounce INCLUDING refill jitter (slots 7-8 at
+        # bounce 0 — refilled lanes have bounce == 0 by construction).
+        u = _per_slot_uniforms(keys, bounce_next := jnp.where(started, 0, s.bounce),
+                               dtype, transposed=tl)
+        if "nornd" in _ablate:
+            shape = (rng_ops.NUM_SLOTS, S) if tl else (S, rng_ops.NUM_SLOTS)
+            u = jnp.broadcast_to(fzero + 0.5, shape) * (
+                1.0 + 1e-6 * (bounce_next[None, :] if tl else
+                              bounce_next[:, None]).astype(dtype))
+        jx = u[rng_ops.SLOT_JITTER_X] if tl else u[:, rng_ops.SLOT_JITTER_X]
+        jy = u[rng_ops.SLOT_JITTER_Y] if tl else u[:, rng_ops.SLOT_JITTER_Y]
+        jitter = jnp.stack([jx, jy], axis=1)
+        if "noraygen" in _ablate:  # profiling: constant-ish rays, no camera math
+            cam_o = jnp.broadcast_to(
+                camera.origin[:, None] if tl else camera.origin, v3shape
+            ) + fzero
+            cam_d = -init_d + m3(jitter[:, 0]) * 1e-6
+        else:
+            px = pixel % width
+            py = pixel // width
+            cam_o, cam_d = camera.generate_rays(
+                px, (height - 1) - py, jitter, transposed=tl
+            )
 
-        r = started[:, None]
-        bounce = jnp.where(started, 0, s.bounce)
+        r = m3(started)
+        bounce = bounce_next
         ray_o = jnp.where(r, cam_o, s.ray_o)
         ray_d = jnp.where(r, cam_d, s.ray_d)
         ray_eta = jnp.where(started, 1.0, s.ray_eta)
@@ -248,8 +291,6 @@ def _pool_loop(
         prefix = jnp.where(r, 1.0, s.prefix)
         radiance = jnp.where(r, 0.0, s.radiance)
         busy = s.busy | started
-
-        u = _per_slot_uniforms(keys, bounce, dtype)
 
         if fused:
             # ---- One bounce for every busy slot: megakernel + any-hit ----
@@ -266,16 +307,17 @@ def _pool_loop(
                 integrator=integrator,
                 max_bounces=max_bounces,
                 eps=EPS,
+                transposed=True,
                 interpret=method == "pallas_interpret",
             )
             radiance = radiance + res.rad_delta
-            if use_nee and scene.num_lights > 0:
-                blocked = occluded(
+            if use_nee and scene.num_lights > 0 and "noshadow" not in _ablate:
+                blocked = occluded_transposed(
                     scene, res.next_o, res.shadow_d, EPS, res.shadow_tmax,
                     method=method,
                 )
                 radiance = radiance + jnp.where(
-                    (res.live & ~blocked)[:, None], res.nee_gain, 0.0
+                    m3(res.live & ~blocked), res.nee_gain, 0.0
                 )
             shade = res.shade
             live = res.live
@@ -384,7 +426,7 @@ def _pool_loop(
         # the same addition sequence as an immediate per-iteration flush
         # (bitwise-identical totals — adding the masked zeros is exact).
         done = busy & ~live
-        flush = jnp.where(done[:, None], radiance, 0.0)           # (S, 3)
+        flush = jnp.where(m3(done), radiance, 0.0)           # v3shape
         row = jax.lax.rem(s.iters, jnp.int32(FLUSH_EVERY))
         fbuf_rad = jax.lax.dynamic_update_slice(
             s.fbuf_rad, flush[None], (row, jnp.int32(0), jnp.int32(0)))
@@ -395,17 +437,25 @@ def _pool_loop(
             img, fr, fc = args
             for kk in range(FLUSH_EVERY):
                 oh = (chunk_iota[:, None] == fc[kk][None, :]).astype(dtype)
-                img = img + oh[:, :, None] * fr[kk][None, :, :]
+                if tl:  # img (chunks, 3, S); mask broadcast over components
+                    img = img + oh[:, None, :] * fr[kk][None, :, :]
+                else:   # img (chunks, S, 3)
+                    img = img + oh[:, :, None] * fr[kk][None, :, :]
             # Reset via *0 (not fresh constants) so the carry keeps its
             # varying mesh axes under shard_map.
             return img, fr * 0.0, fc * 0 - 1
 
-        image, fbuf_rad, fbuf_chunk = jax.lax.cond(
-            row == FLUSH_EVERY - 1,
-            _apply,
-            lambda args: args,
-            (s.image, fbuf_rad, fbuf_chunk),
-        )
+        if "noflush" in _ablate:  # profiling: drop the framebuffer entirely
+            image, fbuf_rad, fbuf_chunk = (
+                s.image, s.fbuf_rad * 0.0, s.fbuf_chunk * 0 - 1
+            )
+        else:
+            image, fbuf_rad, fbuf_chunk = jax.lax.cond(
+                row == FLUSH_EVERY - 1,
+                _apply,
+                lambda args: args,
+                (s.image, fbuf_rad, fbuf_chunk),
+            )
 
         # ---- Continue surviving paths ----
         # Explicit accumulator dtype: under x64 a plain uint32 sum would
@@ -427,7 +477,7 @@ def _pool_loop(
             ray_eta=next_eta,
             pdf_prev=next_pdf,
             prefix=next_prefix,
-            radiance=jnp.where(live[:, None], radiance, zero3),
+            radiance=jnp.where(m3(live), radiance, zero3),
             busy=live,
             cursor=cursor,
             image=image,
@@ -446,9 +496,16 @@ def _pool_loop(
     image_full = final.image
     for kk in range(FLUSH_EVERY):
         oh = (chunk_iota[:, None] == final.fbuf_chunk[kk][None, :]).astype(dtype)
-        image_full = image_full + oh[:, :, None] * final.fbuf_rad[kk][None, :, :]
+        if tl:
+            image_full = image_full + oh[:, None, :] * final.fbuf_rad[kk][None, :, :]
+        else:
+            image_full = image_full + oh[:, :, None] * final.fbuf_rad[kk][None, :, :]
     # Work item w = chunk*S + slot accumulated at image[chunk, slot]; its
     # local pixel is (w*perm) % padded. One inverse scatter restores order.
+    # (The transposed layout pays its single (chunks, 3, S) -> (chunks, S, 3)
+    # transpose here, once per render.)
+    if tl:
+        image_full = jnp.transpose(image_full, (0, 2, 1))
     flat = image_full.reshape(padded_pixels, 3)
     w_ids = jnp.arange(padded_pixels, dtype=jnp.uint32)
     dest = ((w_ids * jnp.uint32(perm)) % jnp.uint32(padded_pixels)).astype(jnp.int32)

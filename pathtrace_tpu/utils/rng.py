@@ -33,7 +33,13 @@ SLOT_BSDF_U = 3        # BSDF sample r1 (cosine/VNDF)   (material.rs:100, mirror
 SLOT_BSDF_V = 4        # BSDF sample r2                 (material.rs:101, mirror.rs:43)
 SLOT_FRESNEL = 5       # reflect/refract coin           (mirror.rs:232)
 SLOT_RR = 6            # Russian roulette               (rendering.rs:100)
-NUM_SLOTS = 8  # padded to a power of two
+# Camera sub-pixel jitter rides in the bounce-0 draw (slots 7-8): a separate
+# per-iteration jitter stream cost the pool an extra fold_in + draw chain
+# (~3% of the production iteration) for bits that are only consumed at path
+# regeneration, where bounce == 0 anyway.
+SLOT_JITTER_X = 7      # primary-ray jitter x           (camera.rs:140, world.rs:296)
+SLOT_JITTER_Y = 8      # primary-ray jitter y
+NUM_SLOTS = 9
 
 
 def base_key(seed: int) -> jax.Array:
@@ -69,10 +75,6 @@ def bounce_uniforms(keys: jax.Array, bounce, dtype=jnp.float32) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("dtype",))
 def primary_jitter(keys: jax.Array, dtype=jnp.float32) -> jnp.ndarray:
     """Sub-pixel jitter ``(N, 2)`` in [0, 1) for primary-ray AA
-    (camera.rs:139-147, world.rs:296-299)."""
-    def draw(k):
-        # Bounce indices are small non-negative ints; 0x7FFFFFFF is reserved
-        # as the camera-jitter coordinate so it never collides with a bounce.
-        return jax.random.uniform(jax.random.fold_in(k, 0x7FFFFFFF), (2,), dtype=dtype)
-
-    return jax.vmap(draw)(keys)
+    (camera.rs:139-147, world.rs:296-299): slots 7-8 of the bounce-0 draw,
+    so renderers that already draw bounce-0 uniforms get it for free."""
+    return bounce_uniforms(keys, 0, dtype=dtype)[:, SLOT_JITTER_X : SLOT_JITTER_Y + 1]
