@@ -363,8 +363,11 @@ def intersect(
     if method == "auto":
         method = default_method()
     binned = method in ("binned", "binned_interpret")
-    if binned:
-        method = "pallas" if method == "binned" else "pallas_interpret"
+    resident = method in ("resident", "resident_interpret")
+    if binned or resident:
+        method = (
+            "pallas" if method in ("binned", "resident") else "pallas_interpret"
+        )
     n = o.shape[0]
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, o.dtype), (n,))
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, o.dtype), (n,))
@@ -397,6 +400,14 @@ def intersect(
         tri_small = t_rows_real <= 64
         sph_small = s_rows <= 512
         def run_tri(tmax):
+            if resident and not tri_small:
+                from . import resident_intersect as rs
+
+                return rs.triangle_closest_resident(
+                    o, d, t_min_b, tmax, scene.tri_v0, scene.tri_e1,
+                    scene.tri_e2, scene.tri_normal, scene.tri_mat,
+                    interpret=interp,
+                )
             if binned and not tri_small:
                 from . import binned_intersect as bn
 
@@ -552,8 +563,11 @@ def occluded(
     if method == "auto":
         method = default_method()
     binned = method in ("binned", "binned_interpret")
-    if binned:
-        method = "pallas" if method == "binned" else "pallas_interpret"
+    resident = method in ("resident", "resident_interpret")
+    if binned or resident:
+        method = (
+            "pallas" if method in ("binned", "resident") else "pallas_interpret"
+        )
     if method in ("pallas", "pallas_interpret"):
         from . import pallas_intersect as pk
 
@@ -585,14 +599,23 @@ def occluded(
             None if tri_onetile
             else (scene.tri_cluster_min, scene.tri_cluster_max)
         )
-        if binned and not tri_onetile:
-            from . import binned_intersect as bn
+        if (binned or resident) and not tri_onetile:
+            if resident:
+                from . import resident_intersect as rs
 
-            tri_occ = bn.triangle_anyhit_binned(
-                o, d, t_min_b, t_max_b, scene.tri_v0, scene.tri_e1,
-                scene.tri_e2, scene.tri_cluster_min, scene.tri_cluster_max,
-                interpret=method == "pallas_interpret",
-            )
+                tri_occ = rs.triangle_anyhit_resident(
+                    o, d, t_min_b, t_max_b, scene.tri_v0, scene.tri_e1,
+                    scene.tri_e2, interpret=method == "pallas_interpret",
+                )
+            else:
+                from . import binned_intersect as bn
+
+                tri_occ = bn.triangle_anyhit_binned(
+                    o, d, t_min_b, t_max_b, scene.tri_v0, scene.tri_e1,
+                    scene.tri_e2, scene.tri_cluster_min,
+                    scene.tri_cluster_max,
+                    interpret=method == "pallas_interpret",
+                )
             zero3 = jnp.zeros((1, 3), o.dtype)  # spheres only: dead tri row
             sph_occ = pk.any_hit(
                 o, d, t_min_b, t_max_b,
@@ -604,7 +627,11 @@ def occluded(
                 ray_tile=1024,
                 interpret=method == "pallas_interpret",
             )
-            return tri_occ | sph_occ
+            occ = tri_occ | sph_occ
+            if idx is not None:  # resident runs on the sorted wave
+                (occ,) = _unsort(idx, occ.astype(jnp.int32))
+                occ = occ != 0
+            return occ
         occ = pk.any_hit(
             o, d, t_min_b, t_max_b,
             scene.sph_center, scene.sph_radius,

@@ -49,6 +49,12 @@ _INF = float("inf")
 _PI = 3.14159265358979323846
 
 RAY_TILE = 1024
+# Measured negative result (round 3): 4096-lane tiles halve the megakernel in
+# a standalone single-kernel probe (66.8 vs 128.2 us at 16k rays) but are
+# reproducibly ~16% SLOWER per pool iteration end to end (323 vs 279 us,
+# identical checksums) — the standalone win does not survive composition with
+# the surrounding XLA program. 1024 stays the default; PT_FUSED_RAY_TILE
+# overrides at trace time for profiling.
 
 # Fused-path scene limits (single right-sized primitive tiles, no cluster
 # traversal): beyond these the per-op path with the hierarchical kernels wins.
@@ -946,7 +952,7 @@ def fused_bounce(
     max_bounces: int,
     eps: float = 1e-3,
     interpret: bool = False,
-    ray_tile: int = RAY_TILE,
+    ray_tile: int | None = None,
     fuse_shadow: bool = False,
     transposed: bool = False,
     sections: frozenset = frozenset({"emis", "nee", "neeeval", "shadow", "sample"}),
@@ -964,6 +970,11 @@ def fused_bounce(
     subset disables parts of the kernel to attribute its cost; production
     callers must pass the default full set.
     """
+    if ray_tile is None:
+        # PT_FUSED_RAY_TILE overrides at trace time (profiling only; see the
+        # RAY_TILE note for the measured tile-width negative result).
+        import os as _os
+        ray_tile = int(_os.environ.get("PT_FUSED_RAY_TILE", "0")) or RAY_TILE
     if transposed:
         # Caller keeps the whole pool state in kernel layout — (k, S) rows,
         # rays on the lane axis — so no per-iteration pad/transpose traffic.

@@ -159,6 +159,45 @@ def test_binned_method_matches_bruteforce():
     np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
 
 
+def test_resident_method_matches_bruteforce():
+    """Resident-table persistent traversal (ops/resident_intersect.py) must
+    produce identical closest hits and occlusion as the bruteforce scan —
+    same MT math, in-kernel per-ray front-to-back order."""
+    import jax
+    import numpy as np
+
+    from pathtrace_tpu.models import scenes
+
+    scene = scenes.mesh_scene(n_tris=2500)
+    key = jax.random.PRNGKey(9)
+    n = 2048  # 2 ray tiles, 8 subtiles each
+    lo = jnp.min(scene.tri_cluster_min, axis=0)
+    hi = jnp.max(scene.tri_cluster_max, axis=0)
+    o = jax.random.uniform(key, (n, 3)) * (hi - lo) + lo
+    d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    hb = intersect(scene, o, d, 1e-3, jnp.inf, method="bruteforce")
+    hp = intersect(scene, o, d, 1e-3, jnp.inf, method="resident_interpret")
+    np.testing.assert_array_equal(np.asarray(hp.prim), np.asarray(hb.prim))
+    v = np.asarray(hb.prim >= 0)
+    tri_lane = v & (np.asarray(hb.prim) < scene.tri_v0.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[tri_lane], np.asarray(hb.t)[tri_lane], rtol=0,
+        atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[v], np.asarray(hb.t)[v], rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hp.front_face)[v], np.asarray(hb.front_face)[v]
+    )
+
+    ob = occluded(scene, o, d, 1e-3, 2.5, method="bruteforce")
+    op = occluded(scene, o, d, 1e-3, 2.5, method="resident_interpret")
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
+
+
 def test_pool_render_method_invariance():
     """End-to-end render must be bitwise-identical between the per-tile and
     per-ray-binned kernel traversals (same intersection math, different
