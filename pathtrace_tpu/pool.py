@@ -30,6 +30,7 @@ the same sample indices produce the same paths as the plain renderer.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -54,7 +55,10 @@ from .utils import vec
 # Deferred-flush ring depth: framebuffer applied once per this many pool
 # iterations. Must divide nothing in particular; 8 makes the amortized RMW
 # negligible while the ring stays ~1.5 MB at 16k slots.
-FLUSH_EVERY = 8
+# PT_FLUSH_EVERY overrides at trace time (profiling knob: distinguishes
+# per-apply cost, which amortizes with depth, from per-iteration carry
+# traffic, which does not).
+FLUSH_EVERY = int(os.environ.get("PT_FLUSH_EVERY", "8"))
 
 # Process-wide override for the fused-megakernel auto gate (None = auto:
 # fused whenever the scene qualifies and the intersect method is pallas).
@@ -433,29 +437,15 @@ def _pool_loop(
         fbuf_chunk = jax.lax.dynamic_update_slice(
             s.fbuf_chunk, jnp.where(done, chunk, -1)[None], (row, jnp.int32(0)))
 
-        def _apply(args):
-            img, fr, fc = args
-            for kk in range(FLUSH_EVERY):
-                oh = (chunk_iota[:, None] == fc[kk][None, :]).astype(dtype)
-                if tl:  # img (chunks, 3, S); mask broadcast over components
-                    img = img + oh[:, None, :] * fr[kk][None, :, :]
-                else:   # img (chunks, S, 3)
-                    img = img + oh[:, :, None] * fr[kk][None, :, :]
-            # Reset via *0 (not fresh constants) so the carry keeps its
-            # varying mesh axes under shard_map.
-            return img, fr * 0.0, fc * 0 - 1
-
         if "noflush" in _ablate:  # profiling: drop the framebuffer entirely
-            image, fbuf_rad, fbuf_chunk = (
-                s.image, s.fbuf_rad * 0.0, s.fbuf_chunk * 0 - 1
-            )
-        else:
-            image, fbuf_rad, fbuf_chunk = jax.lax.cond(
-                row == FLUSH_EVERY - 1,
-                _apply,
-                lambda args: args,
-                (s.image, fbuf_rad, fbuf_chunk),
-            )
+            fbuf_rad, fbuf_chunk = s.fbuf_rad * 0.0, s.fbuf_chunk * 0 - 1
+        # The framebuffer itself is untouched here: the dense RMW apply runs
+        # in the OUTER loop once per ring cycle (see apply_flush below). A
+        # lax.cond on the (chunks, 3, S) carry was measured to copy the whole
+        # framebuffer through the untaken branch every iteration (~61 us of
+        # pure HBM traffic at 1080p/16k slots — the single biggest line in
+        # the round-3 iteration budget).
+        image = s.image
 
         # ---- Continue surviving paths ----
         # Explicit accumulator dtype: under x64 a plain uint32 sum would
@@ -490,7 +480,45 @@ def _pool_loop(
             busy_hi=s.busy_hi + (busy_lo < s.busy_lo).astype(jnp.uint32),
         )
 
-    final = jax.lax.while_loop(cond, body, state)
+    def apply_flush(s: _PoolState) -> _PoolState:
+        """Dense slot-strided framebuffer RMW: add every parked ring row in
+        ascending ring order (= iteration order, so each image element sees
+        the same addition sequence as an immediate per-iteration flush —
+        bitwise-identical totals; the masked zero adds are exact)."""
+        img, fr, fc = s.image, s.fbuf_rad, s.fbuf_chunk
+        for kk in range(FLUSH_EVERY):
+            oh = (chunk_iota[:, None] == fc[kk][None, :]).astype(dtype)
+            if tl:  # img (chunks, 3, S); mask broadcast over components
+                img = img + oh[:, None, :] * fr[kk][None, :, :]
+            else:   # img (chunks, S, 3)
+                img = img + oh[:, :, None] * fr[kk][None, :, :]
+        # Reset via *0 (not fresh constants) so the carry keeps its varying
+        # mesh axes under shard_map.
+        return s._replace(image=img, fbuf_rad=fr * 0.0, fbuf_chunk=fc * 0 - 1)
+
+    # Two-level loop: the inner while runs up to FLUSH_EVERY bounce
+    # iterations (exiting early only when the whole render drains), the
+    # outer level applies the flush ring UNCONDITIONALLY. This keeps the
+    # big framebuffer carry out of any lax.cond/select, which XLA pays for
+    # with a full-buffer copy per iteration on the untaken branch.
+    def inner_cond(carry):
+        s, i = carry
+        return (i < FLUSH_EVERY) & cond(s)
+
+    def inner_body(carry):
+        s, i = carry
+        return body(s), i + 1
+
+    def outer_body(s: _PoolState) -> _PoolState:
+        s, _ = jax.lax.while_loop(inner_cond, inner_body, (s, izero))
+        # "noapply" ablation: park in the ring but never apply it (isolates
+        # the ring-DUS per-iteration cost from the amortized dense RMW).
+        if "noflush" in _ablate_outer or "noapply" in _ablate_outer:
+            return s
+        return apply_flush(s)
+
+    _ablate_outer = os.environ.get("PT_POOL_ABLATE", "")
+    final = jax.lax.while_loop(cond, outer_body, state)
     # Drain the partial flush ring (rows past the last boundary; empty rows
     # carry chunk −1 and match nothing).
     image_full = final.image
@@ -501,15 +529,38 @@ def _pool_loop(
         else:
             image_full = image_full + oh[:, :, None] * final.fbuf_rad[kk][None, :, :]
     # Work item w = chunk*S + slot accumulated at image[chunk, slot]; its
-    # local pixel is (w*perm) % padded. One inverse scatter restores order.
+    # local pixel is (w*perm) % padded. One inverse GATHER restores order:
+    # pixel p reads work item (p * perm^-1) % padded (modular inverse exists
+    # since gcd(perm, padded) == 1). A TPU gather here measured ~4 ms where
+    # the equivalent .at[dest].set scatter measured 84 ms per render (round
+    # 3 trace) — same bitwise result, it is a pure permutation either way.
     # (The transposed layout pays its single (chunks, 3, S) -> (chunks, S, 3)
     # transpose here, once per render.)
     if tl:
         image_full = jnp.transpose(image_full, (0, 2, 1))
     flat = image_full.reshape(padded_pixels, 3)
-    w_ids = jnp.arange(padded_pixels, dtype=jnp.uint32)
-    dest = ((w_ids * jnp.uint32(perm)) % jnp.uint32(padded_pixels)).astype(jnp.int32)
-    image_sum = jnp.zeros_like(flat).at[dest].set(flat)[:num_pixels]
+    if padded_pixels < (1 << 21):
+        # p * perm_inv mod padded without 64-bit ints: split perm_inv =
+        # a*2^11 + b (p < 2^21, a < 2^10, b < 2^11), so every intermediate
+        # product stays below 2^32. Covers every BASELINE config (1080p
+        # padded is ~2.08M < 2^21).
+        p_ids = jnp.arange(padded_pixels, dtype=jnp.uint32)
+        perm_inv = pow(perm, -1, padded_pixels)
+        inv_hi, inv_lo = divmod(perm_inv, 2048)
+        pp = jnp.uint32(padded_pixels)
+        src = (
+            ((p_ids * jnp.uint32(inv_hi)) % pp * jnp.uint32(2048)) % pp
+            + (p_ids * jnp.uint32(inv_lo)) % pp
+        ) % pp
+        image_sum = jnp.take(flat, src.astype(jnp.int32), axis=0)[:num_pixels]
+    else:
+        # Frames past ~2M padded pixels: the u32 split above would overflow;
+        # fall back to the (slower) inverse scatter.
+        w_ids = jnp.arange(padded_pixels, dtype=jnp.uint32)
+        dest = (
+            (w_ids * jnp.uint32(perm)) % jnp.uint32(padded_pixels)
+        ).astype(jnp.int32)
+        image_sum = jnp.zeros_like(flat).at[dest].set(flat)[:num_pixels]
     counters = jnp.stack(
         [final.rays_hi, final.rays_lo, final.busy_hi, final.busy_lo]
     )
