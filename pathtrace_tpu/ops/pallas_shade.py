@@ -427,12 +427,14 @@ def _sample_mirror(color, rough, metal, ior, i, normal, eta, r1, r2, u_coin):
 
 def _fused_bounce_kernel(
     busy_ref, bounce_ref, o_ref, d_ref, eta_ref, pdfp_ref, pfx_ref, u_ref,
-    sph_ref, tri_ref, lgt_ref,
-    rad_ref, no_ref, nd_ref, neta_ref, npdf_ref, npfx_ref, live_ref, shade_ref,
-    dir_ref, sd_ref, st_ref,
-    *, num_tris, num_lights, max_bounces, use_mis, use_nee, has_mirror,
-    eps, rr_min_depth, rr_max_depth, fuse_shadow, sections,
+    sph_ref, tri_ref, lgt_ref, *refs,
+    num_tris, num_lights, max_bounces, use_mis, use_nee, has_mirror,
+    eps, rr_min_depth, rr_max_depth, fuse_shadow, sections, use_quad,
 ):
+    if use_quad:
+        quad_ref, quadg_ref, refs = refs[0], refs[1], refs[2:]
+    (rad_ref, no_ref, nd_ref, neta_ref, npdf_ref, npfx_ref, live_ref,
+     shade_ref, dir_ref, sd_ref, st_ref) = refs
     busy = busy_ref[0:1, :] != 0
     bounce = bounce_ref[0:1, :]
     ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
@@ -489,11 +491,51 @@ def _fused_bounce_kernel(
     # Spheres (half-b quadratic with NaN-miss padding, shape.rs:53-89)
     cx = sph_ref[:, 0:1]; cy = sph_ref[:, 1:2]; cz = sph_ref[:, 2:3]
     kq = sph_ref[:, 3:4]
-    cd = cx * dx + cy * dy + cz * dz
-    co = cx * ox + cy * oy + cz * oz
-    half_b = od - cd
-    cterm = oo - 2.0 * co + kq
-    disc = half_b * half_b - cterm
+    if use_quad:
+        # MXU quadratic-form sweep: disc and half_b for every (sphere, ray)
+        # pair from one bf16-split dot per recentered 64-sphere block (see
+        # _sphere_quad_tables — disc/half_b are translation-invariant, so
+        # cluster-local evaluation keeps the cancellation error far below
+        # the eps self-hit guard). Replaces ~15 VPU ops/pair with ~84%-
+        # utilized matmuls; knife-edge silhouette lanes may round
+        # differently than the VPU path (documented determinism contract).
+        one_r = jnp.ones_like(ox)
+        zpad = jnp.zeros((_QUAD_K - 6 * _QUAD_FEATS, ox.shape[1]), ox.dtype)
+        n_blocks = quad_ref.shape[0] // (2 * _QUAD_CB)
+        disc_b, hb_b = [], []
+        for c in range(n_blocks):
+            gx = quadg_ref[c : c + 1, 0:1]
+            gy = quadg_ref[c : c + 1, 1:2]
+            gz = quadg_ref[c : c + 1, 2:3]
+            oxc, oyc, ozc = ox - gx, oy - gy, oz - gz
+            odc = oxc * dx + oyc * dy + ozc * dz
+            ooc = oxc * oxc + oyc * oyc + ozc * ozc
+            phi = jnp.concatenate([
+                dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz,
+                odc * dx, odc * dy, odc * dz, oxc, oyc, ozc,
+                odc * odc - ooc, one_r, dx, dy, dz,
+            ], axis=0)                                   # (17, W)
+            p0, p1, p2 = _bf16_split3(phi)
+            phi_ext = jnp.concatenate(
+                [p0, p1, p2, p0, p1, p0, zpad], axis=0
+            ).astype(jnp.bfloat16)                       # (128, W)
+            base = c * 2 * _QUAD_CB
+            pairs = jax.lax.dot_general(
+                quad_ref[base : base + 2 * _QUAD_CB, :], phi_ext,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=ox.dtype,
+            )                                            # (128, W)
+            disc_b.append(pairs[:_QUAD_CB, :])
+            hb_b.append(odc - pairs[_QUAD_CB:, :])
+        p_rows = sph_ref.shape[0]
+        disc = jnp.concatenate(disc_b, axis=0)[:p_rows, :]
+        half_b = jnp.concatenate(hb_b, axis=0)[:p_rows, :]
+    else:
+        cd = cx * dx + cy * dy + cz * dz
+        co = cx * ox + cy * oy + cz * oz
+        half_b = od - cd
+        cterm = oo - 2.0 * co + kq
+        disc = half_b * half_b - cterm
     sq = jnp.sqrt(disc)
     root1 = -half_b - sq
     t_c = jnp.where(root1 >= t_min, root1, -half_b + sq)
@@ -851,6 +893,138 @@ class FusedTables(NamedTuple):
     sph: jnp.ndarray   # (Ps, _SPH_COLS)
     tri: jnp.ndarray   # (Pt, _TRI_COLS)
     lgt: jnp.ndarray   # (L8, _LGT_COLS)
+    # (NC*128, _QUAD_K) bf16 sphere quadratic-form table for the MXU sweep
+    # and its (NC, 8) f32 cluster-centroid table (both None when the scene
+    # dtype is not f32 or there are no spheres): block c yields disc and c.d
+    # for its 64 spheres in cluster-local coordinates via one matmul against
+    # the per-ray feature stack (see _sphere_quad_tables).
+    quad: jnp.ndarray | None
+    quadg: jnp.ndarray | None
+
+
+# The sphere quadratic (shape.rs:53-89) is bilinear in per-ray and per-sphere
+# features, so the whole (P, W) pair sweep's multiply work can ride the MXU:
+#   disc = cd^2 - 2 od cd + od^2 - oo + 2 co - kq   (kq = |c|^2 - r^2)
+# with the 17 ray features
+#   phi = [dx^2 dy^2 dz^2  dxdy dxdz dydz  od*d(3)  o(3)  od^2-oo  1  d(3)]
+# and per-sphere coefficients
+#   psi = [cx^2 cy^2 cz^2  2cxcy 2cxcz 2cycz  -2c(3)  2c(3)  1  -kq  c(3)]
+# (the last 3 features/coefficients produce cd so half_b = od - cd).
+# Operands on the MXU round to bf16, so both sides are split into bf16
+# pieces (hi/mid/lo, 8+8+8 >= f32's 24 mantissa bits) and the six split
+# pairs with combined precision >= 2^-24 are laid out ALONG THE CONTRACTION
+# AXIS: K = 6*17 = 102 (padded to 128) in bf16 dots with f32 accumulation
+# — exact products, ~84% MXU utilization.
+#
+# CRITICAL (round-3 lesson, measured): evaluated in GLOBAL coordinates the
+# f32 accumulation error scales with |o|^2 ~ scene-diameter^2 (~3.6e-3
+# absolute at this scene's corners), which overwhelms the eps=1e-3
+# self-intersection guard — every bounce off a sphere falsely re-hit its
+# own sphere at t ~ 2e-3 (+28% pool iterations, +57% image brightness).
+# disc and half_b are translation-invariant, so the sweep runs in
+# CLUSTER-LOCAL coordinates: spheres in contiguous morton blocks of
+# _QUAD_CB=64 rows share a centroid g, the coefficients use c-g and
+# kq' = |c-g|^2 - r^2, and the kernel subtracts g from the ray origin per
+# block. Self-hit pairs then see cluster-local magnitudes (error ~1e-5,
+# 100x under eps); distant-pair error stays comparable to the VPU chain's
+# own distributed-cancellation error (the kq-precompute form pays the same
+# |o|^2 cancellation).
+_QUAD_FEATS = 17
+_QUAD_K = 128   # 6 * _QUAD_FEATS = 102, padded to the MXU contraction width
+_QUAD_CB = 64   # spheres per recentered block (2*_QUAD_CB = 128 table rows)
+
+
+def _bf16_split3(a):
+    """f32 -> three bf16-exact f32 pieces summing to a (within 1 ulp).
+
+    Safe INSIDE Pallas kernels (Mosaic compiles the casts as written). Do
+    NOT use in XLA-land table construction — see _trunc_split3."""
+    b0 = a.astype(jnp.bfloat16).astype(a.dtype)
+    r1 = a - b0
+    b1 = r1.astype(jnp.bfloat16).astype(a.dtype)
+    b2 = r1 - b1
+    return b0, b1, b2
+
+
+def _trunc_split3(a):
+    """f32 -> three EXACT bf16-representable f32 pieces summing to a, via
+    integer bit masking (each piece is the next 8-16 mantissa bits; the
+    subtractions are exact because the residuals are representable).
+
+    Measured round-3 hazard: the cast-based split (_bf16_split3) is silently
+    DESTROYED by XLA's simplifier when the table construction is traced
+    inside the same jit as the consumer dot (the production pool traces
+    build_tables inside render_pool) — the f32->bf16->f32 round trips fold
+    away, the coefficients round to single-bf16 precision, and the sphere
+    sweep gained +30% false hits end to end. Integer bit ops cannot be
+    algebraically folded with float converts, so this form survives any
+    pipeline. NaN rows stay NaN (the quiet bit lives in the kept mantissa
+    bits)."""
+    mask = jnp.uint32(0xFFFF0000)
+    ui = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    b0 = jax.lax.bitcast_convert_type(ui & mask, a.dtype)
+    r1 = a - b0
+    u1 = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+    b1 = jax.lax.bitcast_convert_type(u1 & mask, a.dtype)
+    b2 = r1 - b1
+    return b0, b1, b2
+
+
+def _sphere_quad_tables(centers, radius, dtype):
+    """Per-cluster bf16 coefficient tables + (NC, 8) f32 centroid table.
+
+    Returns ``(quad (NC*128, _QUAD_K) bf16, g (NC, 8) f32)``: block c holds
+    rows [disc coeffs (64) | cd coeffs (64)] for spheres [c*64, (c+1)*64) in
+    coordinates recentered on that block's centroid. Rows with radius <= 0
+    (including padding) carry NaN kq so their disc poisons to NaN.
+    """
+    p = centers.shape[0]
+    p_pad = _cdiv(max(p, 1), _QUAD_CB) * _QUAD_CB
+    c_all = _pad_rows(centers, p_pad)
+    r_all = _pad_rows(radius[:, None], p_pad)[:, 0]
+    valid = (
+        jnp.arange(p_pad) < p
+    ) & (r_all > 0.0)
+    nc = p_pad // _QUAD_CB
+
+    vb = valid.reshape(nc, _QUAD_CB)
+    cb = c_all.reshape(nc, _QUAD_CB, 3)
+    cnt = jnp.maximum(jnp.sum(vb, axis=1), 1)[:, None]
+    g = jnp.sum(jnp.where(vb[:, :, None], cb, 0.0), axis=1) / cnt  # (NC, 3)
+
+    cl = cb - g[:, None, :]                         # cluster-local centers
+    cx = cl[:, :, 0].reshape(-1)
+    cy = cl[:, :, 1].reshape(-1)
+    cz = cl[:, :, 2].reshape(-1)
+    kq = jnp.where(
+        valid, cx * cx + cy * cy + cz * cz - r_all * r_all, jnp.nan
+    )
+    one = jnp.ones_like(cx)
+    zero = jnp.zeros_like(cx)
+    psi_disc = jnp.stack([
+        cx * cx, cy * cy, cz * cz,
+        2.0 * cx * cy, 2.0 * cx * cz, 2.0 * cy * cz,
+        -2.0 * cx, -2.0 * cy, -2.0 * cz,
+        2.0 * cx, 2.0 * cy, 2.0 * cz,
+        one, -kq, zero, zero, zero,
+    ], axis=0)                                           # (17, P_pad)
+    psi_cd = jnp.stack(
+        [zero] * (_QUAD_FEATS - 3) + [cx, cy, cz], axis=0
+    )                                                    # (17, P_pad)
+
+    def ext(psi):
+        s0, s1, s2 = _trunc_split3(psi)
+        e = jnp.concatenate([s0, s0, s0, s1, s1, s2], axis=0)   # (102, P_pad)
+        pad = jnp.zeros((_QUAD_K - e.shape[0], e.shape[1]), dtype)
+        return jnp.concatenate([e, pad], axis=0).T               # (P_pad, 128)
+
+    ed = ext(psi_disc).reshape(nc, _QUAD_CB, _QUAD_K)
+    ec = ext(psi_cd).reshape(nc, _QUAD_CB, _QUAD_K)
+    quad = jnp.concatenate([ed, ec], axis=1).reshape(
+        nc * 2 * _QUAD_CB, _QUAD_K
+    ).astype(jnp.bfloat16)
+    g8 = jnp.concatenate([g, jnp.zeros((nc, 5), dtype)], axis=1)
+    return quad, g8
 
 
 def supports_scene(scene: Scene, integrator: str) -> bool:
@@ -916,7 +1090,11 @@ def build_tables(scene: Scene) -> FusedTables:
     if pad_rows:
         fill = jnp.zeros((pad_rows, _LGT_COLS), dtype).at[:, _LC_PRIM].set(-2.0)
         lgt = jnp.concatenate([lgt, fill], axis=0)
-    return FusedTables(sph=sph, tri=tri, lgt=lgt)
+    if dtype == jnp.float32 and centers.shape[0] > 0:
+        quad, quadg = _sphere_quad_tables(centers, radius, dtype)
+    else:
+        quad = quadg = None
+    return FusedTables(sph=sph, tri=tri, lgt=lgt, quad=quad, quadg=quadg)
 
 
 class BounceResult(NamedTuple):
@@ -1030,6 +1208,17 @@ def fused_bounce(
         )
         return jax.ShapeDtypeStruct(shape, dt, vma=vma)
 
+    # MXU quadratic sphere sweep: f32 production path only. The VPU
+    # formulation stays the reference: interpret-mode (the fused-vs-composed
+    # exact-ray-count tests) and f64 scenes always use it, and
+    # PT_NO_MXU_QUAD=1 restores it on TPU for A/B runs.
+    import os as _os
+    use_quad = (
+        tables.quad is not None
+        and dtype == jnp.float32
+        and (not interpret or _os.environ.get("PT_FORCE_MXU_QUAD"))
+        and not _os.environ.get("PT_NO_MXU_QUAD")
+    )
     outs = pl.pallas_call(
         functools.partial(
             _fused_bounce_kernel,
@@ -1044,6 +1233,7 @@ def fused_bounce(
             rr_max_depth=50,
             fuse_shadow=fuse_shadow,
             sections=sections,
+            use_quad=use_quad,
         ),
         grid=grid,
         in_specs=[
@@ -1052,7 +1242,7 @@ def fused_bounce(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 if use_quad else []),
         out_specs=[
             spec(3), spec(3), spec(3), spec(1), spec(1), spec(3), spec(1),
             spec(1), spec(3), spec(3), spec(1),
@@ -1072,7 +1262,8 @@ def fused_bounce(
         ],
         interpret=interpret,
     )(busy_p, bounce_p, o_t, d_t, eta_p, pdfp_p, pfx_t, u_t,
-      tables.sph, tables.tri, tables.lgt)
+      tables.sph, tables.tri, tables.lgt,
+      *([tables.quad, tables.quadg] if use_quad else []))
     rad, no, nd, neta, npdf, npfx, live, shade, dgain, sdir, stmax = outs
     if transposed:
         return BounceResult(

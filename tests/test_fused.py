@@ -190,3 +190,121 @@ def test_fused_gate_excludes_unsupported():
     assert pallas_shade.supports_scene(scenes.cornell_box(), "mis")
     assert pallas_shade.supports_scene(scenes.many_spheres(), "mis")
     assert not pallas_shade.supports_scene(scenes.mesh_scene(2000), "mis")
+
+
+def test_sphere_quad_table_matches_direct():
+    """The MXU quadratic-form sphere tables (pallas_shade._sphere_quad_tables)
+    must reproduce disc and half_b from the direct half-b formulas: bf16-split
+    products are exact, cluster-local recentering bounds the f32 accumulation
+    error, and self-hit pairs (ray origin ON a sphere of the block) must stay
+    far below the eps=1e-3 guard."""
+    import jax
+    import jax.numpy as jnp
+
+    sc = scenes.many_spheres()
+    tables = pallas_shade.build_tables(sc)
+    assert tables.quad is not None
+    CB = pallas_shade._QUAD_CB
+    key = jax.random.PRNGKey(3)
+    n = 256
+    # Origins across the WHOLE scene (the round-3 global-coordinate bug only
+    # appeared at scene-corner |o|^2 magnitudes), directions random.
+    o = jax.random.uniform(key, (n, 3), minval=-60.0, maxval=60.0)
+    d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    ox, oy, oz = o[:, 0:1].T, o[:, 1:2].T, o[:, 2:3].T
+    dx, dy, dz = d[:, 0:1].T, d[:, 1:2].T, d[:, 2:3].T
+
+    # Kernel-side per-block evaluation (mirrors _fused_bounce_kernel).
+    n_blocks = tables.quad.shape[0] // (2 * CB)
+    zpad = jnp.zeros(
+        (pallas_shade._QUAD_K - 6 * pallas_shade._QUAD_FEATS, n), jnp.float32
+    )
+    one = jnp.ones_like(ox)
+    disc_b, hb_b = [], []
+    for c in range(n_blocks):
+        gx, gy, gz = (tables.quadg[c, k] for k in range(3))
+        oxc, oyc, ozc = ox - gx, oy - gy, oz - gz
+        odc = oxc * dx + oyc * dy + ozc * dz
+        ooc = oxc * oxc + oyc * oyc + ozc * ozc
+        phi = jnp.concatenate([
+            dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz,
+            odc * dx, odc * dy, odc * dz, oxc, oyc, ozc,
+            odc * odc - ooc, one, dx, dy, dz,
+        ], axis=0)
+        p0, p1, p2 = pallas_shade._bf16_split3(phi)
+        phi_ext = jnp.concatenate([p0, p1, p2, p0, p1, p0, zpad], axis=0)
+        pairs = tables.quad[c * 2 * CB:(c + 1) * 2 * CB].astype(jnp.float32) @ phi_ext
+        disc_b.append(pairs[:CB])
+        hb_b.append(odc - pairs[CB:])
+    sph = tables.sph
+    P = sph.shape[0]
+    disc_mxu = jnp.concatenate(disc_b, axis=0)[:P]
+    hb_mxu = jnp.concatenate(hb_b, axis=0)[:P]
+
+    # Direct formulas against the same padded table.
+    c = sph[:, :3]
+    kq = sph[:, 3]
+    cd = c @ d.T
+    co = c @ o.T
+    od = (ox * dx + oy * dy + oz * dz)[0]
+    oo = (ox * ox + oy * oy + oz * oz)[0]
+    half_b = od[None, :] - cd
+    disc = half_b * half_b - (oo[None, :] - 2.0 * co + kq[:, None])
+
+    real = ~np.isnan(np.asarray(kq))
+    scale = np.maximum(np.abs(np.asarray(disc[real])), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(disc_mxu[real]) / scale, np.asarray(disc[real]) / scale,
+        atol=5e-3, rtol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hb_mxu[real]), np.asarray(half_b[real]), atol=1e-3, rtol=1e-5
+    )
+
+    # Self-hit guard: origins ON each sphere's surface, outward directions.
+    # The spurious root2 ~ |disc error| / (2 |half_b|) must stay << eps.
+    cs = np.asarray(sc.sph_center)
+    rs = np.asarray(sc.sph_radius)
+    nn = np.random.default_rng(0).normal(size=cs.shape)
+    nn /= np.linalg.norm(nn, axis=1, keepdims=True)
+    os_ = cs + rs[:, None] * nn
+    ds_ = nn  # leaving the surface
+    oxs = jnp.asarray(os_[:, 0:1].T); oys = jnp.asarray(os_[:, 1:2].T)
+    ozs = jnp.asarray(os_[:, 2:3].T)
+    dxs = jnp.asarray(ds_[:, 0:1].T); dys = jnp.asarray(ds_[:, 1:2].T)
+    dzs = jnp.asarray(ds_[:, 2:3].T)
+    ns = cs.shape[0]
+    zpad_s = jnp.zeros(
+        (pallas_shade._QUAD_K - 6 * pallas_shade._QUAD_FEATS, ns), jnp.float32
+    )
+    ones = jnp.ones_like(oxs)
+    worst = 0.0
+    for c in range(n_blocks):
+        gx, gy, gz = (tables.quadg[c, k] for k in range(3))
+        oxc, oyc, ozc = oxs - gx, oys - gy, ozs - gz
+        odc = oxc * dxs + oyc * dys + ozc * dzs
+        ooc = oxc * oxc + oyc * oyc + ozc * ozc
+        phi = jnp.concatenate([
+            dxs * dxs, dys * dys, dzs * dzs, dxs * dys, dxs * dzs, dys * dzs,
+            odc * dxs, odc * dys, odc * dzs, oxc, oyc, ozc,
+            odc * odc - ooc, ones, dxs, dys, dzs,
+        ], axis=0)
+        p0, p1, p2 = pallas_shade._bf16_split3(phi)
+        phi_ext = jnp.concatenate([p0, p1, p2, p0, p1, p0, zpad_s], axis=0)
+        pairs = tables.quad[c * 2 * CB:(c + 1) * 2 * CB].astype(jnp.float32) @ phi_ext
+        # Diagonal = each ray against ITS OWN sphere (ray j spawned on
+        # sphere c*CB + j within this block).
+        lo, hi = c * CB, min((c + 1) * CB, ns)
+        if lo >= ns:
+            break
+        dd = np.asarray(pairs[:CB])
+        hb = np.asarray(odc - pairs[CB:])
+        for j in range(hi - lo):
+            ray = lo + j
+            # True disc here is exactly half_b^2 (origin on the surface), so
+            # the spurious root2 magnitude is ~ |disc_err| / (2 |half_b|).
+            h = hb[j, ray]
+            err = abs(dd[j, ray] - h * h)
+            worst = max(worst, err / max(2.0 * abs(h), 1e-3))
+    assert worst < 2e-4, worst  # 5x under the eps=1e-3 self-hit guard
