@@ -501,7 +501,8 @@ def _fused_bounce_kernel(
         # differently than the VPU path (documented determinism contract).
         one_r = jnp.ones_like(ox)
         zpad = jnp.zeros((_QUAD_K - 6 * _QUAD_FEATS, ox.shape[1]), ox.dtype)
-        n_blocks = quad_ref.shape[0] // (2 * _QUAD_CB)
+        n_blocks = quadg_ref.shape[0]
+        cb = quad_ref.shape[0] // (2 * n_blocks)
         disc_b, hb_b = [], []
         for c in range(n_blocks):
             gx = quadg_ref[c : c + 1, 0:1]
@@ -519,14 +520,14 @@ def _fused_bounce_kernel(
             phi_ext = jnp.concatenate(
                 [p0, p1, p2, p0, p1, p0, zpad], axis=0
             ).astype(jnp.bfloat16)                       # (128, W)
-            base = c * 2 * _QUAD_CB
+            base = c * 2 * cb
             pairs = jax.lax.dot_general(
-                quad_ref[base : base + 2 * _QUAD_CB, :], phi_ext,
+                quad_ref[base : base + 2 * cb, :], phi_ext,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=ox.dtype,
-            )                                            # (128, W)
-            disc_b.append(pairs[:_QUAD_CB, :])
-            hb_b.append(odc - pairs[_QUAD_CB:, :])
+            )                                            # (2*cb, W)
+            disc_b.append(pairs[:cb, :])
+            hb_b.append(odc - pairs[cb:, :])
         p_rows = sph_ref.shape[0]
         disc = jnp.concatenate(disc_b, axis=0)[:p_rows, :]
         half_b = jnp.concatenate(hb_b, axis=0)[:p_rows, :]
@@ -923,7 +924,7 @@ class FusedTables(NamedTuple):
 # own sphere at t ~ 2e-3 (+28% pool iterations, +57% image brightness).
 # disc and half_b are translation-invariant, so the sweep runs in
 # CLUSTER-LOCAL coordinates: spheres in contiguous morton blocks of
-# _QUAD_CB=64 rows share a centroid g, the coefficients use c-g and
+# _QUAD_CB rows share a centroid g, the coefficients use c-g and
 # kq' = |c-g|^2 - r^2, and the kernel subtracts g from the ray origin per
 # block. Self-hit pairs then see cluster-local magnitudes (error ~1e-5,
 # 100x under eps); distant-pair error stays comparable to the VPU chain's
@@ -931,7 +932,7 @@ class FusedTables(NamedTuple):
 # |o|^2 cancellation).
 _QUAD_FEATS = 17
 _QUAD_K = 128   # 6 * _QUAD_FEATS = 102, padded to the MXU contraction width
-_QUAD_CB = 64   # spheres per recentered block (2*_QUAD_CB = 128 table rows)
+_QUAD_CB = 128  # spheres per recentered block (2*_QUAD_CB table rows per dot)
 
 
 def _bf16_split3(a):
@@ -973,8 +974,8 @@ def _trunc_split3(a):
 def _sphere_quad_tables(centers, radius, dtype):
     """Per-cluster bf16 coefficient tables + (NC, 8) f32 centroid table.
 
-    Returns ``(quad (NC*128, _QUAD_K) bf16, g (NC, 8) f32)``: block c holds
-    rows [disc coeffs (64) | cd coeffs (64)] for spheres [c*64, (c+1)*64) in
+    Returns ``(quad (NC*2*_QUAD_CB, _QUAD_K) bf16, g (NC, 8) f32)``: block c
+    holds rows [disc coeffs | cd coeffs] for its _QUAD_CB spheres in
     coordinates recentered on that block's centroid. Rows with radius <= 0
     (including padding) carry NaN kq so their disc poisons to NaN.
     """

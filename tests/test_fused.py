@@ -307,4 +307,7 @@ def test_sphere_quad_table_matches_direct():
             h = hb[j, ray]
             err = abs(dd[j, ray] - h * h)
             worst = max(worst, err / max(2.0 * abs(h), 1e-3))
-    assert worst < 2e-4, worst  # 5x under the eps=1e-3 self-hit guard
+    # Scales ~ block-radius^2: ~1e-4 at 64-sphere blocks, ~2.5e-4 at the
+    # production 128-sphere blocks — keep at least 2.5x margin under the
+    # eps=1e-3 guard (the VPU chain's own corner-of-scene margin is ~4x).
+    assert worst < 4e-4, worst
