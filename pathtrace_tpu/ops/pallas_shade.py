@@ -430,9 +430,12 @@ def _fused_bounce_kernel(
     sph_ref, tri_ref, lgt_ref, *refs,
     num_tris, num_lights, max_bounces, use_mis, use_nee, has_mirror,
     eps, rr_min_depth, rr_max_depth, fuse_shadow, sections, use_quad,
+    fuse_raygen,
 ):
     if use_quad:
         quad_ref, quadg_ref, refs = refs[0], refs[1], refs[2:]
+    if fuse_raygen:
+        started_ref, pxy_ref, cam_ref, refs = refs[0], refs[1], refs[2], refs[3:]
     (rad_ref, no_ref, nd_ref, neta_ref, npdf_ref, npfx_ref, live_ref,
      shade_ref, dir_ref, sd_ref, st_ref) = refs
     busy = busy_ref[0:1, :] != 0
@@ -442,6 +445,47 @@ def _fused_bounce_kernel(
     eta_in = eta_ref[0:1, :]
     pdf_prev = pdfp_ref[0:1, :]
     pfx = (pfx_ref[0:1, :], pfx_ref[1:2, :], pfx_ref[2:3, :])
+
+    if fuse_raygen:
+        # Primary-ray generation + started-lane state resets, folded into
+        # the kernel: inputs above are the PRE-refill carried pool state,
+        # and the refilled lanes' camera rays are computed here (same op
+        # sequence as models/camera.py generate_rays, so the ray values
+        # match the XLA path) instead of paying ~15 (3,S)/(1,S) XLA arrays
+        # of raygen + where-merge traffic per pool iteration.
+        # (busy/bounce arrive post-merge as always: the pool needs them in
+        # XLA anyway — the RNG draw is keyed on the merged bounce — so only
+        # the float-state merges move in here.)
+        started = started_ref[0:1, :] != 0
+        dtype = ox.dtype
+        jx = u_ref[7:8, :]   # rng.SLOT_JITTER_X
+        jy = u_ref[8:9, :]   # rng.SLOT_JITTER_Y
+        pxf = pxy_ref[0:1, :].astype(dtype)
+        pyf = pxy_ref[1:2, :].astype(dtype)
+        # cam_ref rows: [origin(3), lower_left(3), w-1, h-1] /
+        #               [horizontal(3), vertical(3), 0, 0]
+        org = (cam_ref[0:1, 0:1], cam_ref[0:1, 1:2], cam_ref[0:1, 2:3])
+        ll = (cam_ref[0:1, 3:4], cam_ref[0:1, 4:5], cam_ref[0:1, 5:6])
+        hor = (cam_ref[1:2, 0:1], cam_ref[1:2, 1:2], cam_ref[1:2, 2:3])
+        ver = (cam_ref[1:2, 3:4], cam_ref[1:2, 4:5], cam_ref[1:2, 5:6])
+        uu_c = (pxf + jx) / cam_ref[0:1, 6:7]
+        vv_c = (pyf + jy) / cam_ref[0:1, 7:8]
+        comps = tuple(
+            ll[c] + hor[c] * uu_c + ver[c] * vv_c - org[c] for c in range(3)
+        )
+        ln = jnp.sqrt(_dot3(comps, comps))
+        safe = jnp.where(ln > 0.0, ln, 1.0)
+        pos = ln > 0.0
+        cam_d = tuple(jnp.where(pos, comps[c] / safe, comps[c]) for c in range(3))
+        ox = jnp.where(started, org[0], ox)
+        oy = jnp.where(started, org[1], oy)
+        oz = jnp.where(started, org[2], oz)
+        dx = jnp.where(started, cam_d[0], dx)
+        dy = jnp.where(started, cam_d[1], dy)
+        dz = jnp.where(started, cam_d[2], dz)
+        eta_in = jnp.where(started, 1.0, eta_in)
+        pdf_prev = jnp.where(started, 1.0, pdf_prev)
+        pfx = tuple(jnp.where(started, 1.0, pfx[c]) for c in range(3))
     o3 = (ox, oy, oz)
     d3 = (dx, dy, dz)
     t_min = jnp.full(ox.shape, eps, ox.dtype)
@@ -1134,6 +1178,7 @@ def fused_bounce(
     ray_tile: int | None = None,
     fuse_shadow: bool = False,
     transposed: bool = False,
+    raygen=None,
     sections: frozenset = frozenset({"emis", "nee", "neeeval", "shadow", "sample"}),
 ) -> BounceResult:
     """One full path-vertex step for a wave (see module docstring).
@@ -1145,6 +1190,12 @@ def fused_bounce(
     eta/pdf_prev as (S,), 3-vectors as (3, S), uniforms (8, S); S a ray_tile
     multiple. The production pool uses this to keep its whole state in
     kernel layout (zero per-iteration transposes).
+    ``raygen``: optional ``(started (S,) bool, px (S,) i32, py (S,) i32,
+    cam_row (2, 8))`` — transposed mode only. When given, ray_o/ray_d/eta/
+    pdf_prev/prefix are the PRE-refill carried state and the kernel performs
+    the primary-ray generation (camera row packed by pool._camera_row) and
+    the started-lane float merges itself; busy/bounce must still arrive
+    post-merge (the pool's RNG draw needs them in XLA regardless).
     ``sections`` is a PROFILING-ONLY knob (examples/profile_fused.py): a
     subset disables parts of the kernel to attribute its cost; production
     callers must pass the default full set.
@@ -1212,14 +1263,26 @@ def fused_bounce(
     # MXU quadratic sphere sweep: f32 production path only. The VPU
     # formulation stays the reference: interpret-mode (the fused-vs-composed
     # exact-ray-count tests) and f64 scenes always use it, and
-    # PT_NO_MXU_QUAD=1 restores it on TPU for A/B runs.
-    import os as _os
+    # PT_NO_MXU_QUAD=1 restores it on TPU for A/B runs (see quad_enabled).
     use_quad = (
         tables.quad is not None
         and dtype == jnp.float32
-        and (not interpret or _os.environ.get("PT_FORCE_MXU_QUAD"))
-        and not _os.environ.get("PT_NO_MXU_QUAD")
+        and quad_enabled(interpret)
     )
+    if raygen is not None:
+        if not transposed:
+            raise ValueError("raygen fusion requires transposed mode")
+        rg_started, rg_px, rg_py, rg_cam = raygen
+        rg_started_p = lane_pad(rg_started.astype(jnp.int32)[None, :], 0)
+        rg_pxy_p = lane_pad(
+            jnp.concatenate([rg_px[None, :], rg_py[None, :]], axis=0), 0
+        )
+        rg_in = [rg_started_p, rg_pxy_p, rg_cam]
+        rg_specs = [
+            spec(1), spec(2), pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+    else:
+        rg_in, rg_specs = [], []
     outs = pl.pallas_call(
         functools.partial(
             _fused_bounce_kernel,
@@ -1235,15 +1298,17 @@ def fused_bounce(
             fuse_shadow=fuse_shadow,
             sections=sections,
             use_quad=use_quad,
+            fuse_raygen=raygen is not None,
         ),
         grid=grid,
         in_specs=[
             spec(1), spec(1), spec(3), spec(3), spec(1), spec(1), spec(3),
-            spec(8),
+            spec(9 if raygen is not None else 8),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 if use_quad else []),
+        ] + ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 if use_quad else [])
+          + rg_specs,
         out_specs=[
             spec(3), spec(3), spec(3), spec(1), spec(1), spec(3), spec(1),
             spec(1), spec(3), spec(3), spec(1),
@@ -1264,7 +1329,8 @@ def fused_bounce(
         interpret=interpret,
     )(busy_p, bounce_p, o_t, d_t, eta_p, pdfp_p, pfx_t, u_t,
       tables.sph, tables.tri, tables.lgt,
-      *([tables.quad, tables.quadg] if use_quad else []))
+      *([tables.quad, tables.quadg] if use_quad else []),
+      *rg_in)
     rad, no, nd, neta, npdf, npfx, live, shade, dgain, sdir, stmax = outs
     if transposed:
         return BounceResult(
@@ -1293,3 +1359,158 @@ def fused_bounce(
         shadow_d=sdir[:, :n].T,
         shadow_tmax=stmax[0, :n],
     )
+
+
+def quad_enabled(interpret: bool) -> bool:
+    """Trace-time gate shared by the megakernel sweep and the quad any-hit:
+    the MXU quadratic-form path runs on real accelerators only (the VPU
+    formulation stays the interpret-mode / f64 reference), PT_FORCE_MXU_QUAD
+    turns it on under the interpreter for equivalence tests, and
+    PT_NO_MXU_QUAD restores the VPU path on TPU for A/B runs."""
+    import os as _os
+
+    if _os.environ.get("PT_NO_MXU_QUAD"):
+        return False
+    return not interpret or bool(_os.environ.get("PT_FORCE_MXU_QUAD"))
+
+
+def _quad_anyhit_kernel(o_ref, d_ref, tmax_ref, tri_ref, quad_ref, quadg_ref,
+                        occ_ref, *, eps):
+    """Shadow any-hit over the megakernel's scene tables.
+
+    Same hit criteria as ops/pallas_intersect._anyhit_kernel (the reference's
+    shape.rs:53-89 sphere quadratic and shape.rs:161-198 Möller-Trumbore,
+    OR-reduced — occlusion needs no winner), but the ~17 VPU ops/pair of
+    sphere quadratic setup ride the MXU via the recentered bf16-split tables
+    (_sphere_quad_tables); only the root select + range test stay on the VPU.
+
+    Lanes with t_max < eps (the pool's no-NEE sentinel and lane padding)
+    cannot satisfy ``t >= eps & t <= t_max`` and need no masking; NaN
+    sphere-padding rows poison disc to NaN, which fails every comparison.
+    """
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+    t_max = tmax_ref[0:1, :]
+    t_min = jnp.full(t_max.shape, eps, t_max.dtype)
+
+    # Triangles: single VMEM tile (zero-edge padding rows self-reject).
+    v0x = tri_ref[:, 0:1]; v0y = tri_ref[:, 1:2]; v0z = tri_ref[:, 2:3]
+    e1x = tri_ref[:, 3:4]; e1y = tri_ref[:, 4:5]; e1z = tri_ref[:, 5:6]
+    e2x = tri_ref[:, 6:7]; e2y = tri_ref[:, 7:8]; e2z = tri_ref[:, 8:9]
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    f = 1.0 / a
+    sx = ox - v0x; sy = oy - v0y; sz = oz - v0z
+    uu = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    vv = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok_t = (
+        (jnp.abs(a) >= 1e-8)
+        & (uu >= 0.0) & (uu <= 1.0)
+        & (vv >= 0.0) & (uu + vv <= 1.0)
+        & (t >= t_min) & (t <= t_max)
+    )
+    occ = jnp.any(ok_t, axis=0, keepdims=True)
+
+    # Spheres: MXU quadratic-form sweep, one bf16-split dot per recentered
+    # block (identical table layout/precision story to the megakernel's
+    # closest-hit sweep — see the _sphere_quad_tables comment block).
+    one_r = jnp.ones_like(ox)
+    zpad = jnp.zeros((_QUAD_K - 6 * _QUAD_FEATS, ox.shape[1]), ox.dtype)
+    n_blocks = quadg_ref.shape[0]
+    cb = quad_ref.shape[0] // (2 * n_blocks)
+    for c in range(n_blocks):
+        gx = quadg_ref[c : c + 1, 0:1]
+        gy = quadg_ref[c : c + 1, 1:2]
+        gz = quadg_ref[c : c + 1, 2:3]
+        oxc, oyc, ozc = ox - gx, oy - gy, oz - gz
+        odc = oxc * dx + oyc * dy + ozc * dz
+        ooc = oxc * oxc + oyc * oyc + ozc * ozc
+        phi = jnp.concatenate([
+            dx * dx, dy * dy, dz * dz, dx * dy, dx * dz, dy * dz,
+            odc * dx, odc * dy, odc * dz, oxc, oyc, ozc,
+            odc * odc - ooc, one_r, dx, dy, dz,
+        ], axis=0)                                   # (17, W)
+        p0, p1, p2 = _bf16_split3(phi)
+        phi_ext = jnp.concatenate(
+            [p0, p1, p2, p0, p1, p0, zpad], axis=0
+        ).astype(jnp.bfloat16)                       # (128, W)
+        base = c * 2 * cb
+        pairs = jax.lax.dot_general(
+            quad_ref[base : base + 2 * cb, :], phi_ext,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=ox.dtype,
+        )                                            # (2*cb, W)
+        disc = pairs[:cb, :]
+        half_b = odc - pairs[cb:, :]
+        sq = jnp.sqrt(disc)
+        root1 = -half_b - sq
+        t_c = jnp.where(root1 >= t_min, root1, -half_b + sq)
+        ok_s = (t_c >= t_min) & (t_c <= t_max)
+        occ = occ | jnp.any(ok_s, axis=0, keepdims=True)
+    occ_ref[:, :] = occ.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "interpret", "ray_tile")
+)
+def any_hit_quad(
+    tables: FusedTables,
+    o, d, t_max,
+    *,
+    eps: float = 1e-3,
+    interpret: bool = False,
+    ray_tile: int | None = None,
+):
+    """Occlusion mask for the pool's NEE shadow rays via the MXU quad sweep.
+
+    Kernel-layout inputs (the production pool's zero-transpose path): ``o``/
+    ``d`` are (3, S), ``t_max`` (S,) with values < eps meaning "no query"
+    (the megakernel emits shadow_tmax < 0 for lanes without NEE). Requires
+    ``tables.quad`` (f32 scene with spheres); callers gate on that plus
+    :func:`quad_enabled`. Replaces ops/pallas_intersect.any_hit on the fused
+    pool path — same hit criteria, knife-edge lanes may round differently
+    than the VPU path (documented determinism contract).
+    """
+    if ray_tile is None:
+        import os as _os
+        ray_tile = int(_os.environ.get("PT_FUSED_RAY_TILE", "0")) or RAY_TILE
+    n = t_max.shape[0]
+    n_pad = _cdiv(n, ray_tile) * ray_tile
+    dtype = o.dtype
+
+    def lane_pad(a, fill=0.0):
+        pad = n_pad - a.shape[-1]
+        if pad == 0:
+            return a
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)],
+                       constant_values=fill)
+
+    o_p = lane_pad(o)
+    d_p = lane_pad(d, 1.0)
+    tmax_p = lane_pad(t_max[None, :], -1.0)
+
+    def spec(k):
+        return pl.BlockSpec((k, ray_tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    vma = frozenset().union(*(jax.typeof(a).vma for a in (o, d, t_max)))
+    occ = pl.pallas_call(
+        functools.partial(_quad_anyhit_kernel, eps=eps),
+        grid=(n_pad // ray_tile,),
+        in_specs=[
+            spec(3), spec(3), spec(1),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=spec(1),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32, vma=vma),
+        interpret=interpret,
+    )(o_p, d_p, tmax_p, tables.tri, tables.quad, tables.quadg)
+    return occ[0, :n] != 0

@@ -88,8 +88,20 @@ class _PoolState(NamedTuple):
     prefix: jnp.ndarray     # (S, 3) throughput incl. rr division
     radiance: jnp.ndarray   # (S, 3) accumulated path radiance
     busy: jnp.ndarray       # (S,) slot holds an in-flight path
-    # Per-slot work stream
-    cursor: jnp.ndarray     # (S,) int32: next work item index for this slot
+    # Per-slot work stream. Streams form a two-ended deque shared with the
+    # slot's PAIR PARTNER (slot ^ 1): the owner consumes from the front
+    # (cursor), and once a slot's own stream is exhausted it steals from the
+    # BACK of its partner's (drain-tail harvest — per-stream total path
+    # length varies ~a few %, so exhausted slots otherwise idle while their
+    # neighbours finish; pairing halves that spread). Exactly-once: the
+    # thief only takes when >= 1 item remains AFTER the owner's same-
+    # iteration front take, so the cursors can never cross.
+    cursor: jnp.ndarray     # (S,) int32: next front item of this slot's stream
+    stolen: jnp.ndarray     # (S,) int32: items taken from the BACK of this
+    #                         slot's stream by its partner
+    from_partner: jnp.ndarray  # (S,) bool: the in-flight item belongs to the
+    #                            partner's stream (flush routes to the
+    #                            partner's framebuffer column)
     image: jnp.ndarray      # (chunks, S, 3) slot-strided framebuffer
     # Deferred-flush ring: dying paths park (radiance, chunk) here and the
     # (chunks, S, 3) framebuffer is read-modify-written only once every
@@ -97,6 +109,12 @@ class _PoolState(NamedTuple):
     # time at 1080p/16k slots when paid per iteration.
     fbuf_rad: jnp.ndarray    # (FLUSH_EVERY, S, 3)
     fbuf_chunk: jnp.ndarray  # (FLUSH_EVERY, S) int32, -1 = empty
+    # Second ring for STOLEN items, indexed by the OWNER's column (the park
+    # pair-swaps the lanes), so a thief's flush and the owner's own flush in
+    # the same iteration cannot collide; the dense apply adds both rings in
+    # one framebuffer read-modify-write pass.
+    fbuf2_rad: jnp.ndarray   # (FLUSH_EVERY, S, 3)
+    fbuf2_chunk: jnp.ndarray  # (FLUSH_EVERY, S) int32, -1 = empty
     iters: jnp.ndarray      # scalar int32 diagnostics
     # Traced-ray counter as an exact (hi, lo) uint32 pair: a config-3-scale
     # render (1024^2 x 256 spp x ~4 queries/path) crosses 2^31 and would wrap
@@ -161,6 +179,15 @@ def _pool_loop(
         and _FUSED_OVERRIDE is not False
     )
     fused_tables = pallas_shade.build_tables(scene) if fused else None
+    # NEE shadow via the MXU quad-table any-hit kernel (same gate family as
+    # the megakernel's quadratic sweep; falls back to the general
+    # ops/pallas_intersect.any_hit when the scene has no quad tables).
+    quad_shadow = (
+        fused
+        and fused_tables.quad is not None
+        and pallas_shade.quad_enabled(method == "pallas_interpret")
+        and not os.environ.get("PT_NO_QUAD_SHADOW")  # A/B attribution knob
+    )
     # Transposed layout: with the megakernel in play the pool keeps every
     # 3-vector state array in kernel layout (3, S) — rays on the lane axis —
     # so no per-iteration pad/transpose traffic feeds the kernels (the
@@ -184,6 +211,20 @@ def _pool_loop(
         perm -= 1
     dtype = camera.origin.dtype
     base = rng_ops.base_key(seed)
+    # Camera packed for the megakernel's raygen mode (pallas_shade
+    # _fused_bounce_kernel): row 0 = [origin, lower_left, w-1, h-1],
+    # row 1 = [horizontal, vertical, 0, 0]. Loop-invariant.
+    cam_row = jnp.stack([
+        jnp.concatenate([
+            camera.origin, camera.lower_left_corner,
+            # generate_rays divides by the CAMERA's dims (not the frame's;
+            # they agree in every current caller, but keep the contract).
+            jnp.asarray([camera.width - 1, camera.height - 1], dtype),
+        ]),
+        jnp.concatenate([
+            camera.horizontal, camera.vertical, jnp.zeros((2,), dtype),
+        ]),
+    ])
 
     # Derive every loop-carry from the traced offsets so the while_loop body
     # and init agree on varying axes under shard_map (pixel_lo varies over dp,
@@ -207,6 +248,17 @@ def _pool_loop(
     )
     slot_ids = jnp.arange(S, dtype=jnp.int32)
     chunk_iota = jnp.arange(chunks, dtype=jnp.int32)
+    # Pair work-stealing (drain-tail harvest): trace-time static. PT_NO_STEAL
+    # is the A/B attribution knob; odd pool sizes have an unpaired slot and
+    # simply keep the plain per-slot streams.
+    steal = S % 2 == 0 and not os.environ.get("PT_NO_STEAL")
+
+    def pswap(a):
+        """Swap pair partners (slot <-> slot^1) along the slot axis."""
+        if a.ndim == 1 or not tl:          # (S,) or untransposed (S, 3)
+            return a.reshape((S // 2, 2) + a.shape[1:])[:, ::-1].reshape(a.shape)
+        return a.reshape(a.shape[:-1] + (S // 2, 2))[..., ::-1].reshape(a.shape)
+
     state = _PoolState(
         pixel=jnp.zeros((S,), jnp.int32) + izero,
         chunk=jnp.zeros((S,), jnp.int32) + izero,
@@ -220,9 +272,13 @@ def _pool_loop(
         radiance=zero3,
         busy=(slot_ids + izero) < 0,
         cursor=jnp.zeros((S,), jnp.int32) + izero,
+        stolen=jnp.zeros((S,), jnp.int32) + izero,
+        from_partner=(slot_ids + izero) < 0,
         image=jnp.zeros((chunks,) + v3shape, dtype) + fzero,
         fbuf_rad=jnp.zeros((FLUSH_EVERY,) + v3shape, dtype) + fzero,
         fbuf_chunk=jnp.full((FLUSH_EVERY, S), -1, jnp.int32) + izero[..., None],
+        fbuf2_rad=jnp.zeros((FLUSH_EVERY,) + v3shape, dtype) + fzero,
+        fbuf2_chunk=jnp.full((FLUSH_EVERY, S), -1, jnp.int32) + izero[..., None],
         iters=jnp.int32(0) + izero,
         rays_lo=jnp.uint32(0) + izero.astype(jnp.uint32),
         rays_hi=jnp.uint32(0) + izero.astype(jnp.uint32),
@@ -231,15 +287,35 @@ def _pool_loop(
     )
 
     def cond(s: _PoolState):
-        return jnp.any(s.busy) | jnp.any(s.cursor < work_per_slot)
+        return jnp.any(s.busy) | jnp.any(s.cursor < work_per_slot - s.stolen)
 
     def body(s: _PoolState) -> _PoolState:
         import os as _os
         _ablate = _os.environ.get("PT_POOL_ABLATE", "")
-        # ---- Refill: each free slot pulls the next item of its own stream ----
+        # ---- Refill: each free slot pulls the next item of its own stream,
+        # or (drain-tail harvest) the BACK item of its pair partner's ----
         free = ~s.busy
-        refill = free & (s.cursor < work_per_slot)
-        w_item = (s.cursor % chunks) * S + slot_ids
+        if steal:
+            can_own = s.cursor < work_per_slot - s.stolen
+            refill_own = free & can_own
+            # Partner-side views (slot ^ 1) via the pair-swap reshape.
+            p_cursor = pswap(s.cursor)
+            p_stolen = pswap(s.stolen)
+            p_taking = pswap(refill_own).astype(jnp.int32)
+            # Items left in the partner's stream AFTER its own front take
+            # this iteration — stealing only when >= 1 remains guarantees
+            # every item executes exactly once.
+            p_remaining = (work_per_slot - p_stolen) - (p_cursor + p_taking)
+            refill_steal = free & ~can_own & (p_remaining >= 1)
+            refill = refill_own | refill_steal
+            q = jnp.where(refill_steal, work_per_slot - 1 - p_stolen, s.cursor)
+            src_slot = jnp.where(refill_steal, slot_ids ^ 1, slot_ids)
+        else:
+            refill_own = refill = free & (s.cursor < work_per_slot)
+            refill_steal = None
+            q = s.cursor
+            src_slot = slot_ids
+        w_item = (q % chunks) * S + src_slot
         new_local = (
             (w_item.astype(jnp.uint32) * jnp.uint32(perm)) % jnp.uint32(padded_pixels)
         ).astype(jnp.int32)
@@ -249,16 +325,24 @@ def _pool_loop(
         new_pixel = pixel_lo + new_local
         # Global sample index: progressive passes / sample-parallel shards
         # continue the same counter-RNG streams.
-        new_sample = s.cursor // chunks + sample_lo
+        new_sample = q // chunks + sample_lo
         # Padding work items (local id >= local window, or global id past the
         # frame on the last shard) are skipped; waste <= S/num_pixels.
         pixel_ok = (new_local < num_pixels) & (new_pixel < total_pixels)
-        cursor = jnp.where(refill, s.cursor + 1, s.cursor)
+        cursor = jnp.where(refill_own, s.cursor + 1, s.cursor)
+        if steal:
+            stolen = s.stolen + pswap(refill_steal).astype(jnp.int32)
+        else:
+            stolen = s.stolen
 
         started = refill & pixel_ok
         pixel = jnp.where(started, jnp.minimum(new_pixel, total_pixels - 1), s.pixel)
-        chunk = jnp.where(started, s.cursor % chunks, s.chunk)
+        chunk = jnp.where(started, q % chunks, s.chunk)
         sample = jnp.where(started, new_sample, s.sample)
+        if steal:
+            from_partner = jnp.where(started, refill_steal, s.from_partner)
+        else:
+            from_partner = s.from_partner
         keys = rng_ops.pixel_sample_keys(base, pixel, sample)
 
         # One (NUM_SLOTS, S) draw per iteration covers every stochastic
@@ -271,10 +355,22 @@ def _pool_loop(
             u = jnp.broadcast_to(fzero + 0.5, shape) * (
                 1.0 + 1e-6 * (bounce_next[None, :] if tl else
                               bounce_next[:, None]).astype(dtype))
-        jx = u[rng_ops.SLOT_JITTER_X] if tl else u[:, rng_ops.SLOT_JITTER_X]
-        jy = u[rng_ops.SLOT_JITTER_Y] if tl else u[:, rng_ops.SLOT_JITTER_Y]
-        jitter = jnp.stack([jx, jy], axis=1)
-        if "noraygen" in _ablate:  # profiling: constant-ish rays, no camera math
+        fuse_rg = (
+            fused and "noraygen" not in _ablate
+            and not _os.environ.get("PT_NO_RAYGEN_FUSION")  # A/B knob
+        )
+        if not fuse_rg:
+            jx = u[rng_ops.SLOT_JITTER_X] if tl else u[:, rng_ops.SLOT_JITTER_X]
+            jy = u[rng_ops.SLOT_JITTER_Y] if tl else u[:, rng_ops.SLOT_JITTER_Y]
+            jitter = jnp.stack([jx, jy], axis=1)
+        if fuse_rg:
+            # Raygen + started-lane float merges fold into the megakernel
+            # (pallas_shade raygen mode): only the cheap (S,) int pixel
+            # decomposition stays here, and the carried (3, S) float state
+            # goes to the kernel pre-merge — ~15 XLA arrays of raygen and
+            # where-merge traffic per iteration removed.
+            cam_o = cam_d = None
+        elif "noraygen" in _ablate:  # profiling: constant rays, no camera math
             cam_o = jnp.broadcast_to(
                 camera.origin[:, None] if tl else camera.origin, v3shape
             ) + fzero
@@ -288,11 +384,15 @@ def _pool_loop(
 
         r = m3(started)
         bounce = bounce_next
-        ray_o = jnp.where(r, cam_o, s.ray_o)
-        ray_d = jnp.where(r, cam_d, s.ray_d)
-        ray_eta = jnp.where(started, 1.0, s.ray_eta)
-        pdf_prev = jnp.where(started, 1.0, s.pdf_prev)
-        prefix = jnp.where(r, 1.0, s.prefix)
+        if fuse_rg:
+            ray_o, ray_d = s.ray_o, s.ray_d
+            ray_eta, pdf_prev, prefix = s.ray_eta, s.pdf_prev, s.prefix
+        else:
+            ray_o = jnp.where(r, cam_o, s.ray_o)
+            ray_d = jnp.where(r, cam_d, s.ray_d)
+            ray_eta = jnp.where(started, 1.0, s.ray_eta)
+            pdf_prev = jnp.where(started, 1.0, s.pdf_prev)
+            prefix = jnp.where(r, 1.0, s.prefix)
         radiance = jnp.where(r, 0.0, s.radiance)
         busy = s.busy | started
 
@@ -313,13 +413,28 @@ def _pool_loop(
                 eps=EPS,
                 transposed=True,
                 interpret=method == "pallas_interpret",
+                raygen=(
+                    (started, pixel % width, (height - 1) - pixel // width,
+                     cam_row)
+                    if fuse_rg else None
+                ),
             )
             radiance = radiance + res.rad_delta
             if use_nee and scene.num_lights > 0 and "noshadow" not in _ablate:
-                blocked = occluded_transposed(
-                    scene, res.next_o, res.shadow_d, EPS, res.shadow_tmax,
-                    method=method,
-                )
+                if quad_shadow:
+                    # MXU quad-table any-hit over the megakernel's own scene
+                    # tables (pallas_shade.any_hit_quad): the shadow sweep's
+                    # ~17 VPU ops/pair of quadratic setup ride the MXU.
+                    blocked = pallas_shade.any_hit_quad(
+                        fused_tables, res.next_o, res.shadow_d,
+                        res.shadow_tmax, eps=EPS,
+                        interpret=method == "pallas_interpret",
+                    )
+                else:
+                    blocked = occluded_transposed(
+                        scene, res.next_o, res.shadow_d, EPS, res.shadow_tmax,
+                        method=method,
+                    )
                 radiance = radiance + jnp.where(
                     m3(res.live & ~blocked), res.nee_gain, 0.0
                 )
@@ -430,15 +545,31 @@ def _pool_loop(
         # the same addition sequence as an immediate per-iteration flush
         # (bitwise-identical totals — adding the masked zeros is exact).
         done = busy & ~live
-        flush = jnp.where(m3(done), radiance, 0.0)           # v3shape
+        done_own = done & ~from_partner if steal else done
+        flush = jnp.where(m3(done_own), radiance, 0.0)       # v3shape
         row = jax.lax.rem(s.iters, jnp.int32(FLUSH_EVERY))
         fbuf_rad = jax.lax.dynamic_update_slice(
             s.fbuf_rad, flush[None], (row, jnp.int32(0), jnp.int32(0)))
         fbuf_chunk = jax.lax.dynamic_update_slice(
-            s.fbuf_chunk, jnp.where(done, chunk, -1)[None], (row, jnp.int32(0)))
+            s.fbuf_chunk, jnp.where(done_own, chunk, -1)[None],
+            (row, jnp.int32(0)))
+        if steal:
+            # Stolen items park in ring B at the OWNER's column (pair-swap):
+            # owner j's thief is unique (j ^ 1), so ring-B columns never
+            # collide, and the item's framebuffer cell is image[chunk, j].
+            done_stl = done & from_partner
+            flush2 = pswap(jnp.where(m3(done_stl), radiance, 0.0))
+            chunk2 = pswap(jnp.where(done_stl, chunk, -1))
+            fbuf2_rad = jax.lax.dynamic_update_slice(
+                s.fbuf2_rad, flush2[None], (row, jnp.int32(0), jnp.int32(0)))
+            fbuf2_chunk = jax.lax.dynamic_update_slice(
+                s.fbuf2_chunk, chunk2[None], (row, jnp.int32(0)))
+        else:
+            fbuf2_rad, fbuf2_chunk = s.fbuf2_rad, s.fbuf2_chunk
 
         if "noflush" in _ablate:  # profiling: drop the framebuffer entirely
             fbuf_rad, fbuf_chunk = s.fbuf_rad * 0.0, s.fbuf_chunk * 0 - 1
+            fbuf2_rad, fbuf2_chunk = s.fbuf2_rad * 0.0, s.fbuf2_chunk * 0 - 1
         # The framebuffer itself is untouched here: the dense RMW apply runs
         # in the OUTER loop once per ring cycle (see apply_flush below). A
         # lax.cond on the (chunks, 3, S) carry was measured to copy the whole
@@ -470,9 +601,13 @@ def _pool_loop(
             radiance=jnp.where(m3(live), radiance, zero3),
             busy=live,
             cursor=cursor,
+            stolen=stolen,
+            from_partner=from_partner,
             image=image,
             fbuf_rad=fbuf_rad,
             fbuf_chunk=fbuf_chunk,
+            fbuf2_rad=fbuf2_rad,
+            fbuf2_chunk=fbuf2_chunk,
             iters=s.iters + 1,
             rays_lo=rays_lo,
             rays_hi=s.rays_hi + (rays_lo < s.rays_lo).astype(jnp.uint32),
@@ -486,15 +621,24 @@ def _pool_loop(
         the same addition sequence as an immediate per-iteration flush —
         bitwise-identical totals; the masked zero adds are exact)."""
         img, fr, fc = s.image, s.fbuf_rad, s.fbuf_chunk
-        for kk in range(FLUSH_EVERY):
-            oh = (chunk_iota[:, None] == fc[kk][None, :]).astype(dtype)
-            if tl:  # img (chunks, 3, S); mask broadcast over components
-                img = img + oh[:, None, :] * fr[kk][None, :, :]
-            else:   # img (chunks, S, 3)
-                img = img + oh[:, :, None] * fr[kk][None, :, :]
+        rings = [(fr, fc)]
+        if steal:
+            rings.append((s.fbuf2_rad, s.fbuf2_chunk))
+        for rr, rc in rings:
+            for kk in range(FLUSH_EVERY):
+                oh = (chunk_iota[:, None] == rc[kk][None, :]).astype(dtype)
+                if tl:  # img (chunks, 3, S); mask broadcast over components
+                    img = img + oh[:, None, :] * rr[kk][None, :, :]
+                else:   # img (chunks, S, 3)
+                    img = img + oh[:, :, None] * rr[kk][None, :, :]
         # Reset via *0 (not fresh constants) so the carry keeps its varying
         # mesh axes under shard_map.
-        return s._replace(image=img, fbuf_rad=fr * 0.0, fbuf_chunk=fc * 0 - 1)
+        out = s._replace(image=img, fbuf_rad=fr * 0.0, fbuf_chunk=fc * 0 - 1)
+        if steal:
+            out = out._replace(
+                fbuf2_rad=s.fbuf2_rad * 0.0, fbuf2_chunk=s.fbuf2_chunk * 0 - 1
+            )
+        return out
 
     # Two-level loop: the inner while runs up to FLUSH_EVERY bounce
     # iterations (exiting early only when the whole render drains), the
@@ -522,12 +666,16 @@ def _pool_loop(
     # Drain the partial flush ring (rows past the last boundary; empty rows
     # carry chunk −1 and match nothing).
     image_full = final.image
-    for kk in range(FLUSH_EVERY):
-        oh = (chunk_iota[:, None] == final.fbuf_chunk[kk][None, :]).astype(dtype)
-        if tl:
-            image_full = image_full + oh[:, None, :] * final.fbuf_rad[kk][None, :, :]
-        else:
-            image_full = image_full + oh[:, :, None] * final.fbuf_rad[kk][None, :, :]
+    drain_rings = [(final.fbuf_rad, final.fbuf_chunk)]
+    if steal:
+        drain_rings.append((final.fbuf2_rad, final.fbuf2_chunk))
+    for rr, rc in drain_rings:
+        for kk in range(FLUSH_EVERY):
+            oh = (chunk_iota[:, None] == rc[kk][None, :]).astype(dtype)
+            if tl:
+                image_full = image_full + oh[:, None, :] * rr[kk][None, :, :]
+            else:
+                image_full = image_full + oh[:, :, None] * rr[kk][None, :, :]
     # Work item w = chunk*S + slot accumulated at image[chunk, slot]; its
     # local pixel is (w*perm) % padded. One inverse GATHER restores order:
     # pixel p reads work item (p * perm^-1) % padded (modular inverse exists

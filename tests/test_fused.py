@@ -311,3 +311,138 @@ def test_sphere_quad_table_matches_direct():
     # production 128-sphere blocks — keep at least 2.5x margin under the
     # eps=1e-3 guard (the VPU chain's own corner-of-scene margin is ~4x).
     assert worst < 4e-4, worst
+
+
+def test_quad_anyhit_matches_f64_oracle():
+    """pallas_shade.any_hit_quad (MXU quad-table shadow sweep, interpret
+    mode) must agree with an f64 numpy occlusion oracle on every lane whose
+    decision is robust — i.e. further than the quad sweep's documented
+    ~1e-3 disc error from every branch threshold. Knife-edge lanes (tangent
+    rays, range-boundary roots) are excluded by construction: they are the
+    documented determinism-contract rounding freedom."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    ns = 200
+    centers = rng.uniform(-30, 30, (ns, 3))
+    radii = rng.uniform(0.4, 2.5, ns)
+    b = SceneBuilder()
+    for c, r in zip(centers, radii):
+        b.add_sphere(tuple(c), float(r), Lambertian((0.5, 0.5, 0.5)))
+    # One real quad (two triangles) so the kernel's MT lane sees real hits.
+    b.add_quad((-40, -35, -40), (40, -35, -40), (40, -35, 40), (-40, -35, 40),
+               Lambertian((0.5, 0.5, 0.5)))
+    sc = b.build()
+    tables = pallas_shade.build_tables(sc)
+    assert tables.quad is not None
+
+    n = 512
+    o = rng.uniform(-40, 40, (n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t_max = rng.uniform(0.1, 80.0, n)
+    t_max[:17] = -1.0          # the pool's no-NEE sentinel: never occluded
+    eps = 1e-3
+
+    got = np.asarray(pallas_shade.any_hit_quad(
+        tables,
+        jnp.asarray(o.T, jnp.float32),
+        jnp.asarray(d.T, jnp.float32),
+        jnp.asarray(t_max, jnp.float32),
+        eps=eps, interpret=True, ray_tile=256,
+    ))
+
+    # f64 oracle with per-primitive decision margins.
+    delta = 2e-2
+    occ = np.zeros(n, bool)
+    conf = np.ones(n, bool)
+    robust_hit = np.zeros(n, bool)
+    for ci, rr in zip(centers, radii):
+        oc = o - ci
+        hb = np.einsum("ij,ij->i", oc, d)
+        disc = hb * hb - (np.einsum("ij,ij->i", oc, oc) - rr * rr)
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        r1, r2 = -hb - sq, -hb + sq
+        t_c = np.where(r1 >= eps, r1, r2)
+        ok = (disc > 0) & (t_c >= eps) & (t_c <= t_max)
+        occ |= ok
+        range_margin = np.minimum.reduce(
+            [np.abs(r1 - eps), np.abs(r1 - t_max),
+             np.abs(r2 - eps), np.abs(r2 - t_max)])
+        # A pair's decision is robust if the ray robustly misses the sphere
+        # (disc well below 0 — root-range margins are then irrelevant) or
+        # the roots are real with clearance AND sit far from every range
+        # boundary / root-selection threshold. The quad sweep's measured
+        # disc error is <= 5e-3 * max(|disc|, 1) (see
+        # test_sphere_quad_table_matches_direct), so an absolute band of
+        # 0.2 on disc gives a 20x sign margin, and with disc > 0.2 the
+        # root error is <= ~7e-3 < delta (disc <= r^2 <= 6.25 here, so
+        # sqrt(disc) is never large).
+        robust_pair = (disc < -0.2) | ((disc > 0.2) & (range_margin > delta))
+        robust_hit |= ok & robust_pair
+        conf &= robust_pair
+    # Triangles (Moller-Trumbore, same margins).
+    tv0 = np.asarray(sc.tri_v0, np.float64)
+    te1 = np.asarray(sc.tri_e1, np.float64)
+    te2 = np.asarray(sc.tri_e2, np.float64)
+    for v0, e1, e2 in zip(tv0, te1, te2):
+        if not np.any(e1) and not np.any(e2):
+            continue
+        h = np.cross(d, e2)
+        a = h @ e1
+        f = 1.0 / np.where(np.abs(a) < 1e-300, 1e-300, a)
+        s = o - v0
+        u = f * np.einsum("ij,ij->i", s, h)
+        q = np.cross(s, e1)
+        v = f * np.einsum("ij,ij->i", q, d)
+        t = f * (q @ e2)
+        ok = ((np.abs(a) >= 1e-8) & (u >= 0) & (u <= 1) & (v >= 0)
+              & (u + v <= 1) & (t >= eps) & (t <= t_max))
+        occ |= ok
+        margin = np.minimum.reduce([
+            np.abs(u), np.abs(1.0 - u), np.abs(v), np.abs(1.0 - u - v),
+            np.abs(t - eps), np.abs(t - t_max),
+        ])
+        robust_pair = (margin > delta) & (np.abs(a) > 1e-6)
+        robust_hit |= ok & robust_pair
+        conf &= robust_pair
+    confident = conf | robust_hit
+    assert confident.mean() > 0.8   # the filter must not trivialize the test
+    np.testing.assert_array_equal(got[confident], occ[confident])
+    assert not got[:17].any()       # sentinel lanes never occlude
+
+
+def test_pool_quad_shadow_matches_vpu_path():
+    """End-to-end: the production pool with the full MXU quad family forced
+    on under the interpreter (megakernel quadratic sweep + quad any-hit
+    shadow) must reproduce the VPU fused path up to the documented
+    knife-edge budget (tests/imgutil.py)."""
+    import os
+
+    import jax
+
+    from tests.imgutil import assert_images_match
+
+    sc = scenes.many_spheres(n_per_side=3)
+    cam = scenes.many_spheres_camera(W, H)
+    set_default_method("pallas_interpret")
+    try:
+        a, ra, _ = render_pool(sc, cam, width=W, height=H, spp=SPP,
+                               integrator="mis", max_bounces=6, num_slots=64,
+                               seed=5)
+        os.environ["PT_FORCE_MXU_QUAD"] = "1"
+        jax.clear_caches()   # env is read at trace time
+        try:
+            b, rb, _ = render_pool(sc, cam, width=W, height=H, spp=SPP,
+                                   integrator="mis", max_bounces=6,
+                                   num_slots=64, seed=5)
+        finally:
+            del os.environ["PT_FORCE_MXU_QUAD"]
+            jax.clear_caches()
+    finally:
+        set_default_method(None)
+    # Path structure is allowed to differ only on knife-edge samples; at
+    # this size that is exact in practice, but the contract is the image
+    # budget, not the ray counter.
+    assert_images_match(np.asarray(a), np.asarray(b), max_outliers=3)

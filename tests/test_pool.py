@@ -103,3 +103,37 @@ def test_pool_glass_scene_finite():
                                    integrator="mis", max_bounces=8,
                                    num_slots=128, seed=0)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_pool_pair_stealing_equivalence():
+    """Pair work-stealing (drain-tail harvest) must execute EXACTLY the same
+    path set — same traced-ray count, same per-pixel sample values (image
+    equal up to addition order) — in no more iterations than the plain
+    per-slot streams."""
+    import os
+
+    import jax
+
+    from pathtrace_tpu.models import scenes
+
+    sc = scenes.many_spheres(n_per_side=3)
+    cam = scenes.many_spheres_camera(24, 24)
+
+    def run():
+        img, rays, iters = render_pool(sc, cam, width=24, height=24, spp=4,
+                                       integrator="mis", max_bounces=6,
+                                       num_slots=64, seed=5)
+        return np.asarray(img), ray_count(rays), int(iters)
+
+    a, ra, ia = run()
+    os.environ["PT_NO_STEAL"] = "1"
+    jax.clear_caches()   # the knob is read at trace time
+    try:
+        b, rb, ib = run()
+    finally:
+        del os.environ["PT_NO_STEAL"]
+        jax.clear_caches()
+    assert ra == rb                      # identical work executed
+    assert ia <= ib                      # stealing never adds iterations
+    assert ib > ia                       # and actually harvests this tail
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
