@@ -103,7 +103,8 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
     n = ray_o.shape[0]
     dtype = ray_o.dtype
 
-    hit0 = intersect(scene, ray_o, ray_d, EPS, jnp.inf)
+    # Primary camera wave: spatially coherent — per-tile kernels win.
+    hit0 = intersect(scene, ray_o, ray_d, EPS, jnp.inf, coherent=True)
     mp0 = bsdf_ops.mat_of(scene, hit0.mat)
     emis0 = hit0.valid & bsdf_ops.is_emissive_params(mp0)
     # Lights are visible to the camera only (depth==0, rendering.rs:42-49).
@@ -140,7 +141,8 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
             u[:, rng_ops.SLOT_LIGHT_U],
             u[:, rng_ops.SLOT_LIGHT_V],
         )
-        blocked = occluded(scene, hit.point, ls.dir, EPS, ls.dist - EPS)
+        blocked = occluded(scene, hit.point, ls.dir, EPS, ls.dist - EPS,
+                           coherent=False)
         cos_l = jnp.abs(vec.dot(hit.normal, ls.dir))
         bsdf_l, pdf_bsdf_l = bsdf_ops.eval_bsdf(
             scene, hit.mat, i, s.ray_eta, ls.dir, hit.normal, params=mp
@@ -181,7 +183,9 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
         )
 
         # --- Peek (rendering.rs:104-135); doubles as the next bounce's hit ---
-        peek = intersect(scene, hit.point, o_dir, EPS, jnp.inf)
+        # Bounce wave: incoherent — big meshes route per-ray (resolve_auto).
+        peek = intersect(scene, hit.point, o_dir, EPS, jnp.inf,
+                         coherent=False)
         peek_mp = bsdf_ops.mat_of(scene, peek.mat)
         peek_emis = peek.valid & bsdf_ops.is_emissive_params(peek_mp)
 

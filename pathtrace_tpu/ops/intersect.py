@@ -238,6 +238,37 @@ def default_method() -> str:
     return "pallas" if jax.default_backend() != "cpu" else "bruteforce"
 
 
+# "auto"'s winner for a PURE INCOHERENT wave on a big-triangle scene: the
+# per-ray binned front-to-back order measured 1.3x the per-tile kernels on
+# surface-origin bounce waves of the 70k-tri scene (docs/PERFORMANCE.md,
+# round 2), while coherent primary waves and the pool's mixed waves keep the
+# per-tile kernels. Measured, not theoretical — update with measurements,
+# not intuition.
+WAVE_INCOHERENT_METHOD = "binned"
+
+
+def resolve_auto(method: str, num_tris: int, coherent: bool | None) -> str:
+    """Resolve ``method="auto"`` given the wave's coherence hint.
+
+    ``coherent=True`` (camera/primary waves) and ``coherent=None`` (mixed,
+    e.g. the production pool) keep the platform default; ``coherent=False``
+    (bounce/shadow waves of the wavefront integrator) routes big-triangle
+    scenes to the per-ray traversal that wins on incoherent waves. An
+    explicit :func:`set_default_method` override always wins."""
+    if method != "auto":
+        return method
+    resolved = default_method()
+    if (
+        _METHOD_OVERRIDE is None
+        and coherent is False
+        and num_tris >= RAY_SORT_MIN_TRIS
+        and resolved in ("pallas", "pallas_interpret")
+    ):
+        suffix = "_interpret" if resolved == "pallas_interpret" else ""
+        return WAVE_INCOHERENT_METHOD + suffix
+    return resolved
+
+
 # Sort rays before tracing once the triangle soup is at least this large:
 # the per-tile cluster culling in the Pallas kernels only skips work when the
 # 512 rays of a tile are spatially coherent, which bounce waves are not.
@@ -338,6 +369,7 @@ def intersect(
     tile: int | None = None,
     method: str = "auto",
     sort_rays: bool | None = None,
+    coherent: bool | None = None,
 ) -> Hit:
     """Closest hit for a wave of rays.
 
@@ -358,10 +390,12 @@ def intersect(
       * ``"mxu"`` — matmul formulation. Kept as an experiment: its K=3
         matmuls underutilize the systolic array and compile slowly at
         HIGHEST precision; not selected automatically.
-      * ``"auto"`` — pallas on TPU, bruteforce on CPU.
+      * ``"auto"`` — pallas on TPU, bruteforce on CPU; with a
+        ``coherent=False`` hint (bounce/shadow waves of the wavefront
+        integrator), big-triangle scenes route to the per-ray traversal
+        that wins on incoherent waves (see :func:`resolve_auto`).
     """
-    if method == "auto":
-        method = default_method()
+    method = resolve_auto(method, scene.tri_v0.shape[0], coherent)
     binned = method in ("binned", "binned_interpret")
     resident = method in ("resident", "resident_interpret")
     if binned or resident:
@@ -552,16 +586,17 @@ def intersect(
 
 
 def occluded(
-    scene: Scene, o, d, t_min, t_max, tile: int | None = None, method: str = "auto"
+    scene: Scene, o, d, t_min, t_max, tile: int | None = None,
+    method: str = "auto", coherent: bool | None = None,
 ) -> jnp.ndarray:
     """Boolean visibility test (shadow rays, rendering.rs:62-65).
 
     On accelerators this is a dedicated fused any-hit kernel over both
     primitive classes (no closest-hit bookkeeping); on CPU it reuses the
-    bruteforce closest-hit path.
+    bruteforce closest-hit path. ``coherent`` as in :func:`intersect`
+    (shadow waves are incoherent — the wavefront integrator hints False).
     """
-    if method == "auto":
-        method = default_method()
+    method = resolve_auto(method, scene.tri_v0.shape[0], coherent)
     binned = method in ("binned", "binned_interpret")
     resident = method in ("resident", "resident_interpret")
     if binned or resident:

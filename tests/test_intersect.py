@@ -237,3 +237,29 @@ def test_pool_render_method_invariance():
     # Round 1's reorder bug was a >10% image shift; 1e-5 still catches it.
     np.testing.assert_allclose(img_tile, img_binned, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(img_brute, img_binned, rtol=2e-3, atol=2e-3)
+
+
+def test_resolve_auto_coherence_hints(monkeypatch):
+    """"auto" routes big-mesh INCOHERENT waves (the wavefront integrator's
+    bounce/shadow traces) to the per-ray binned traversal, keeps the per-tile
+    kernels for coherent primaries and unhinted (mixed/pool) waves, and an
+    explicit set_default_method override always wins."""
+    from pathtrace_tpu.ops import intersect as im
+
+    monkeypatch.setattr(im, "default_method", lambda: "pallas")
+    big = im.RAY_SORT_MIN_TRIS
+    assert im.resolve_auto("auto", big, False) == im.WAVE_INCOHERENT_METHOD
+    assert im.resolve_auto("auto", big, True) == "pallas"
+    assert im.resolve_auto("auto", big, None) == "pallas"
+    assert im.resolve_auto("auto", big - 1, False) == "pallas"
+    # Explicit method requests pass through untouched.
+    assert im.resolve_auto("resident", big, False) == "resident"
+    # Interpreter default keeps the hint family in interpret mode.
+    monkeypatch.setattr(im, "default_method", lambda: "pallas_interpret")
+    assert im.resolve_auto("auto", big, False) == (
+        im.WAVE_INCOHERENT_METHOD + "_interpret"
+    )
+    # A process-wide override beats the hint.
+    monkeypatch.setattr(im, "_METHOD_OVERRIDE", "pallas")
+    monkeypatch.setattr(im, "default_method", lambda: "pallas")
+    assert im.resolve_auto("auto", big, False) == "pallas"
