@@ -640,21 +640,21 @@ def _pool_loop(
             )
         return out
 
-    # Two-level loop: the inner while runs up to FLUSH_EVERY bounce
-    # iterations (exiting early only when the whole render drains), the
-    # outer level applies the flush ring UNCONDITIONALLY. This keeps the
-    # big framebuffer carry out of any lax.cond/select, which XLA pays for
-    # with a full-buffer copy per iteration on the untaken branch.
-    def inner_cond(carry):
-        s, i = carry
-        return (i < FLUSH_EVERY) & cond(s)
-
-    def inner_body(carry):
-        s, i = carry
-        return body(s), i + 1
+    # Two-level loop: the inner level runs EXACTLY FLUSH_EVERY bounce
+    # iterations (fori, no per-iteration exit test — the two (S,) any-
+    # reductions plus predicate sync of a while cond were ~3% of the
+    # iteration), the outer level applies the flush ring UNCONDITIONALLY.
+    # This keeps the big framebuffer carry out of any lax.cond/select, which
+    # XLA pays for with a full-buffer copy per iteration on the untaken
+    # branch. Only the FINAL ring cycle can over-run (<= FLUSH_EVERY - 1
+    # empty iterations once per render): with no busy lane and no work left,
+    # refill/started/done are all false, so the body is a provable state
+    # no-op except the iters diagnostic (its ring rows park chunk = -1).
+    def inner_body(i, s):
+        return body(s)
 
     def outer_body(s: _PoolState) -> _PoolState:
-        s, _ = jax.lax.while_loop(inner_cond, inner_body, (s, izero))
+        s = jax.lax.fori_loop(0, FLUSH_EVERY, inner_body, s)
         # "noapply" ablation: park in the ring but never apply it (isolates
         # the ring-DUS per-iteration cost from the amortized dense RMW).
         if "noflush" in _ablate_outer or "noapply" in _ablate_outer:
