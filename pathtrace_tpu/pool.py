@@ -88,20 +88,21 @@ class _PoolState(NamedTuple):
     prefix: jnp.ndarray     # (S, 3) throughput incl. rr division
     radiance: jnp.ndarray   # (S, 3) accumulated path radiance
     busy: jnp.ndarray       # (S,) slot holds an in-flight path
-    # Per-slot work stream. Streams form a two-ended deque shared with the
-    # slot's PAIR PARTNER (slot ^ 1): the owner consumes from the front
-    # (cursor), and once a slot's own stream is exhausted it steals from the
-    # BACK of its partner's (drain-tail harvest — per-stream total path
-    # length varies ~a few %, so exhausted slots otherwise idle while their
-    # neighbours finish; pairing halves that spread). Exactly-once: the
-    # thief only takes when >= 1 item remains AFTER the owner's same-
-    # iteration front take, so the cursors can never cross.
+    # Per-slot work stream. Streams form two-ended deques shared within the
+    # slot's XOR-GROUP (slot ^ m for masks m of the group): the owner
+    # consumes from the front (cursor), and once a slot's own stream is
+    # exhausted it steals from the BACK of a group-mate's (drain-tail
+    # harvest — per-stream total path length varies ~a few %, so exhausted
+    # slots otherwise idle while their neighbours finish; group sharing
+    # divides that spread). Exactly-once: a thief only takes when >= 1 item
+    # remains AFTER the owner's same-iteration front take and all earlier
+    # masks' takes, so consumers can never cross.
     cursor: jnp.ndarray     # (S,) int32: next front item of this slot's stream
     stolen: jnp.ndarray     # (S,) int32: items taken from the BACK of this
-    #                         slot's stream by its partner
-    from_partner: jnp.ndarray  # (S,) bool: the in-flight item belongs to the
-    #                            partner's stream (flush routes to the
-    #                            partner's framebuffer column)
+    #                         slot's stream by its group-mates
+    from_mask: jnp.ndarray  # (S,) int32: 0 = own item; m > 0 = the in-flight
+    #                         item belongs to group-mate (slot ^ m)'s stream
+    #                         (flush routes to that owner's column)
     image: jnp.ndarray      # (chunks, S, 3) slot-strided framebuffer
     # Deferred-flush ring: dying paths park (radiance, chunk) here and the
     # (chunks, S, 3) framebuffer is read-modify-written only once every
@@ -109,12 +110,12 @@ class _PoolState(NamedTuple):
     # time at 1080p/16k slots when paid per iteration.
     fbuf_rad: jnp.ndarray    # (FLUSH_EVERY, S, 3)
     fbuf_chunk: jnp.ndarray  # (FLUSH_EVERY, S) int32, -1 = empty
-    # Second ring for STOLEN items, indexed by the OWNER's column (the park
-    # pair-swaps the lanes), so a thief's flush and the owner's own flush in
-    # the same iteration cannot collide; the dense apply adds both rings in
-    # one framebuffer read-modify-write pass.
-    fbuf2_rad: jnp.ndarray   # (FLUSH_EVERY, S, 3)
-    fbuf2_chunk: jnp.ndarray  # (FLUSH_EVERY, S) int32, -1 = empty
+    # Per-mask rings for STOLEN items, indexed by the OWNER's column (the
+    # park XOR-permutes the lanes). Owner j's mask-m thief is unique
+    # (j ^ m), so ring columns never collide; the dense apply adds every
+    # ring in one framebuffer read-modify-write pass.
+    fbuf2_rad: jnp.ndarray   # (R, FLUSH_EVERY, S, 3)
+    fbuf2_chunk: jnp.ndarray  # (R, FLUSH_EVERY, S) int32, -1 = empty
     iters: jnp.ndarray      # scalar int32 diagnostics
     # Traced-ray counter as an exact (hi, lo) uint32 pair: a config-3-scale
     # render (1024^2 x 256 spp x ~4 queries/path) crosses 2^31 and would wrap
@@ -248,16 +249,44 @@ def _pool_loop(
     )
     slot_ids = jnp.arange(S, dtype=jnp.int32)
     chunk_iota = jnp.arange(chunks, dtype=jnp.int32)
-    # Pair work-stealing (drain-tail harvest): trace-time static. PT_NO_STEAL
-    # is the A/B attribution knob; odd pool sizes have an unpaired slot and
-    # simply keep the plain per-slot streams.
-    steal = S % 2 == 0 and not os.environ.get("PT_NO_STEAL")
+    # XOR-group work-stealing (drain-tail harvest): trace-time static.
+    # Slots form groups of G = 4 (or 2 when S is only even); a slot whose own
+    # stream is exhausted steals the BACK of group-mate (slot ^ m)'s stream,
+    # trying masks in order. Per-stream totals spread ~sigma*sqrt(2 ln S)
+    # (~8% idle measured at 16k slots); sharing over a group of G divides
+    # the spread by ~sqrt(G)..G. Each (owner, mask) pair has a unique thief,
+    # so the per-mask flush rings never collide. PT_NO_STEAL is the A/B knob.
+    if os.environ.get("PT_NO_STEAL") or S % 2 != 0:
+        steal_masks: tuple = ()
+    elif S % 4 == 0 and os.environ.get("PT_STEAL_GROUP", "4") != "2":
+        steal_masks = (1, 2, 3)
+    else:
+        steal_masks = (1,)
+    steal = bool(steal_masks)
+    n_rings = max(len(steal_masks), 1)
 
-    def pswap(a):
-        """Swap pair partners (slot <-> slot^1) along the slot axis."""
+    def xswap(a, m):
+        """Permute the slot axis by XOR with group mask ``m``."""
+        g4 = S % 4 == 0
         if a.ndim == 1 or not tl:          # (S,) or untransposed (S, 3)
-            return a.reshape((S // 2, 2) + a.shape[1:])[:, ::-1].reshape(a.shape)
-        return a.reshape(a.shape[:-1] + (S // 2, 2))[..., ::-1].reshape(a.shape)
+            if g4:
+                v = a.reshape((S // 4, 2, 2) + a.shape[1:])
+                if m & 2:
+                    v = v[:, ::-1]
+                if m & 1:
+                    v = v[:, :, ::-1]
+            else:
+                v = a.reshape((S // 2, 2) + a.shape[1:])[:, ::-1]
+            return v.reshape(a.shape)
+        if g4:                              # kernel layout: slot is last axis
+            v = a.reshape(a.shape[:-1] + (S // 4, 2, 2))
+            if m & 2:
+                v = v[..., ::-1, :]
+            if m & 1:
+                v = v[..., ::-1]
+        else:
+            v = a.reshape(a.shape[:-1] + (S // 2, 2))[..., ::-1]
+        return v.reshape(a.shape)
 
     state = _PoolState(
         pixel=jnp.zeros((S,), jnp.int32) + izero,
@@ -273,12 +302,13 @@ def _pool_loop(
         busy=(slot_ids + izero) < 0,
         cursor=jnp.zeros((S,), jnp.int32) + izero,
         stolen=jnp.zeros((S,), jnp.int32) + izero,
-        from_partner=(slot_ids + izero) < 0,
+        from_mask=jnp.zeros((S,), jnp.int32) + izero,
         image=jnp.zeros((chunks,) + v3shape, dtype) + fzero,
         fbuf_rad=jnp.zeros((FLUSH_EVERY,) + v3shape, dtype) + fzero,
         fbuf_chunk=jnp.full((FLUSH_EVERY, S), -1, jnp.int32) + izero[..., None],
-        fbuf2_rad=jnp.zeros((FLUSH_EVERY,) + v3shape, dtype) + fzero,
-        fbuf2_chunk=jnp.full((FLUSH_EVERY, S), -1, jnp.int32) + izero[..., None],
+        fbuf2_rad=jnp.zeros((n_rings, FLUSH_EVERY) + v3shape, dtype) + fzero,
+        fbuf2_chunk=jnp.full((n_rings, FLUSH_EVERY, S), -1, jnp.int32)
+        + izero[..., None],
         iters=jnp.int32(0) + izero,
         rays_lo=jnp.uint32(0) + izero.astype(jnp.uint32),
         rays_hi=jnp.uint32(0) + izero.astype(jnp.uint32),
@@ -293,28 +323,44 @@ def _pool_loop(
         import os as _os
         _ablate = _os.environ.get("PT_POOL_ABLATE", "")
         # ---- Refill: each free slot pulls the next item of its own stream,
-        # or (drain-tail harvest) the BACK item of its pair partner's ----
+        # or (drain-tail harvest) the BACK item of a group-mate's ----
         free = ~s.busy
         if steal:
             can_own = s.cursor < work_per_slot - s.stolen
             refill_own = free & can_own
-            # Partner-side views (slot ^ 1) via the pair-swap reshape.
-            p_cursor = pswap(s.cursor)
-            p_stolen = pswap(s.stolen)
-            p_taking = pswap(refill_own).astype(jnp.int32)
-            # Items left in the partner's stream AFTER its own front take
-            # this iteration — stealing only when >= 1 remains guarantees
-            # every item executes exactly once.
-            p_remaining = (work_per_slot - p_stolen) - (p_cursor + p_taking)
-            refill_steal = free & ~can_own & (p_remaining >= 1)
-            refill = refill_own | refill_steal
-            q = jnp.where(refill_steal, work_per_slot - 1 - p_stolen, s.cursor)
-            src_slot = jnp.where(refill_steal, slot_ids ^ 1, slot_ids)
-        else:
-            refill_own = refill = free & (s.cursor < work_per_slot)
-            refill_steal = None
+            # Back items available per stream AFTER the owner's own front
+            # take this iteration; each mask's takes are then accounted
+            # before the next mask looks, so stealing only when >= 1
+            # remains guarantees every item executes exactly once.
+            avail = (
+                work_per_slot - s.stolen - s.cursor
+                - refill_own.astype(jnp.int32)
+            )
+            cb = jnp.zeros_like(avail)      # back takes this iteration
+            want = free & ~can_own
             q = s.cursor
             src_slot = slot_ids
+            mask_new = jnp.zeros_like(s.from_mask)
+            refill = refill_own
+            for m in steal_masks:
+                take_m = want & (xswap(avail, m) >= 1)
+                # Back index BEFORE this mask's take, seen from the thief.
+                q_b = work_per_slot - 1 - xswap(s.stolen + cb, m)
+                q = jnp.where(take_m, q_b, q)
+                src_slot = jnp.where(take_m, slot_ids ^ m, src_slot)
+                mask_new = jnp.where(take_m, m, mask_new)
+                got = xswap(take_m, m).astype(jnp.int32)
+                avail = avail - got
+                cb = cb + got
+                want = want & ~take_m
+                refill = refill | take_m
+            stolen = s.stolen + cb
+        else:
+            refill_own = refill = free & (s.cursor < work_per_slot)
+            q = s.cursor
+            src_slot = slot_ids
+            stolen = s.stolen
+            mask_new = s.from_mask
         w_item = (q % chunks) * S + src_slot
         new_local = (
             (w_item.astype(jnp.uint32) * jnp.uint32(perm)) % jnp.uint32(padded_pixels)
@@ -330,19 +376,12 @@ def _pool_loop(
         # frame on the last shard) are skipped; waste <= S/num_pixels.
         pixel_ok = (new_local < num_pixels) & (new_pixel < total_pixels)
         cursor = jnp.where(refill_own, s.cursor + 1, s.cursor)
-        if steal:
-            stolen = s.stolen + pswap(refill_steal).astype(jnp.int32)
-        else:
-            stolen = s.stolen
 
         started = refill & pixel_ok
         pixel = jnp.where(started, jnp.minimum(new_pixel, total_pixels - 1), s.pixel)
         chunk = jnp.where(started, q % chunks, s.chunk)
         sample = jnp.where(started, new_sample, s.sample)
-        if steal:
-            from_partner = jnp.where(started, refill_steal, s.from_partner)
-        else:
-            from_partner = s.from_partner
+        from_mask = jnp.where(started, mask_new, s.from_mask)
         keys = rng_ops.pixel_sample_keys(base, pixel, sample)
 
         # One (NUM_SLOTS, S) draw per iteration covers every stochastic
@@ -545,7 +584,7 @@ def _pool_loop(
         # the same addition sequence as an immediate per-iteration flush
         # (bitwise-identical totals — adding the masked zeros is exact).
         done = busy & ~live
-        done_own = done & ~from_partner if steal else done
+        done_own = done & (from_mask == 0) if steal else done
         flush = jnp.where(m3(done_own), radiance, 0.0)       # v3shape
         row = jax.lax.rem(s.iters, jnp.int32(FLUSH_EVERY))
         fbuf_rad = jax.lax.dynamic_update_slice(
@@ -553,19 +592,22 @@ def _pool_loop(
         fbuf_chunk = jax.lax.dynamic_update_slice(
             s.fbuf_chunk, jnp.where(done_own, chunk, -1)[None],
             (row, jnp.int32(0)))
+        fbuf2_rad, fbuf2_chunk = s.fbuf2_rad, s.fbuf2_chunk
         if steal:
-            # Stolen items park in ring B at the OWNER's column (pair-swap):
-            # owner j's thief is unique (j ^ 1), so ring-B columns never
-            # collide, and the item's framebuffer cell is image[chunk, j].
-            done_stl = done & from_partner
-            flush2 = pswap(jnp.where(m3(done_stl), radiance, 0.0))
-            chunk2 = pswap(jnp.where(done_stl, chunk, -1))
-            fbuf2_rad = jax.lax.dynamic_update_slice(
-                s.fbuf2_rad, flush2[None], (row, jnp.int32(0), jnp.int32(0)))
-            fbuf2_chunk = jax.lax.dynamic_update_slice(
-                s.fbuf2_chunk, chunk2[None], (row, jnp.int32(0)))
-        else:
-            fbuf2_rad, fbuf2_chunk = s.fbuf2_rad, s.fbuf2_chunk
+            # Stolen items park in the per-mask ring at the OWNER's column
+            # (XOR-permute): owner j's mask-m thief is unique (j ^ m), so
+            # each ring's columns never collide, and the item's framebuffer
+            # cell is image[chunk, j].
+            for r, m in enumerate(steal_masks):
+                done_m = done & (from_mask == m)
+                flush_m = xswap(jnp.where(m3(done_m), radiance, 0.0), m)
+                chunk_m = xswap(jnp.where(done_m, chunk, -1), m)
+                fbuf2_rad = jax.lax.dynamic_update_slice(
+                    fbuf2_rad, flush_m[None, None],
+                    (jnp.int32(r), row, jnp.int32(0), jnp.int32(0)))
+                fbuf2_chunk = jax.lax.dynamic_update_slice(
+                    fbuf2_chunk, chunk_m[None, None],
+                    (jnp.int32(r), row, jnp.int32(0)))
 
         if "noflush" in _ablate:  # profiling: drop the framebuffer entirely
             fbuf_rad, fbuf_chunk = s.fbuf_rad * 0.0, s.fbuf_chunk * 0 - 1
@@ -602,7 +644,7 @@ def _pool_loop(
             busy=live,
             cursor=cursor,
             stolen=stolen,
-            from_partner=from_partner,
+            from_mask=from_mask,
             image=image,
             fbuf_rad=fbuf_rad,
             fbuf_chunk=fbuf_chunk,
@@ -623,7 +665,10 @@ def _pool_loop(
         img, fr, fc = s.image, s.fbuf_rad, s.fbuf_chunk
         rings = [(fr, fc)]
         if steal:
-            rings.append((s.fbuf2_rad, s.fbuf2_chunk))
+            rings += [
+                (s.fbuf2_rad[r], s.fbuf2_chunk[r])
+                for r in range(len(steal_masks))
+            ]
         for rr, rc in rings:
             for kk in range(FLUSH_EVERY):
                 oh = (chunk_iota[:, None] == rc[kk][None, :]).astype(dtype)
@@ -668,7 +713,10 @@ def _pool_loop(
     image_full = final.image
     drain_rings = [(final.fbuf_rad, final.fbuf_chunk)]
     if steal:
-        drain_rings.append((final.fbuf2_rad, final.fbuf2_chunk))
+        drain_rings += [
+            (final.fbuf2_rad[r], final.fbuf2_chunk[r])
+            for r in range(len(steal_masks))
+        ]
     for rr, rc in drain_rings:
         for kk in range(FLUSH_EVERY):
             oh = (chunk_iota[:, None] == rc[kk][None, :]).astype(dtype)
