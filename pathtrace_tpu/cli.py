@@ -186,6 +186,14 @@ def main(argv=None) -> int:
         sp.add_argument("--integrator", choices=["mis", "nee", "brdf_only"], default="mis")
         sp.add_argument("--max-bounces", type=int, default=64)
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument(
+            "--method",
+            choices=["auto", "pallas", "binned", "resident", "bruteforce"],
+            default="auto",
+            help="intersection traversal (auto = platform default with "
+            "per-wave coherence routing; binned/resident = per-ray "
+            "front-to-back orders for big meshes)",
+        )
 
     r = sub.add_parser("render", help="render a still image")
     common(r)
@@ -219,6 +227,10 @@ def main(argv=None) -> int:
     d.set_defaults(fn=cmd_debug_pixel)
 
     args = p.parse_args(argv)
+    if getattr(args, "method", "auto") != "auto":
+        from .ops.intersect import set_default_method
+
+        set_default_method(args.method)
     return args.fn(args)
 
 

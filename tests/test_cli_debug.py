@@ -74,3 +74,22 @@ def test_cli_pool_progressive_checkpoint(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     z = np.load(ckpt)
     assert int(z["num_samples"]) == 4
+
+
+def test_cli_method_flag(tmp_path):
+    """--method routes every subcommand through set_default_method; an
+    explicit bruteforce must render identically to the CPU auto default."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    outs = []
+    for method in ("auto", "bruteforce"):
+        out = os.path.join(tmp_path, f"{method}.npy")
+        r = subprocess.run(
+            [sys.executable, "-m", "pathtrace_tpu", "render", "--scene",
+             "cornell", "--width", "16", "--height", "16", "--spp", "1",
+             "--method", method, "--out",
+             os.path.join(tmp_path, f"{method}.png"), "--npy", out],
+            capture_output=True, text=True, env=env, timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(np.load(out))
+    np.testing.assert_array_equal(outs[0], outs[1])
