@@ -1375,7 +1375,7 @@ def quad_enabled(interpret: bool) -> bool:
 
 
 def _quad_anyhit_kernel(o_ref, d_ref, tmax_ref, tri_ref, quad_ref, quadg_ref,
-                        occ_ref, *, eps):
+                        occ_ref, *, eps, interval):
     """Shadow any-hit over the megakernel's scene tables.
 
     Same hit criteria as ops/pallas_intersect._anyhit_kernel (the reference's
@@ -1448,11 +1448,32 @@ def _quad_anyhit_kernel(o_ref, d_ref, tmax_ref, tri_ref, quad_ref, quadg_ref,
         )                                            # (2*cb, W)
         disc = pairs[:cb, :]
         half_b = odc - pairs[cb:, :]
-        sq = jnp.sqrt(disc)
-        root1 = -half_b - sq
-        t_c = jnp.where(root1 >= t_min, root1, -half_b + sq)
-        ok_s = (t_c >= t_min) & (t_c <= t_max)
-        occ = occ | jnp.any(ok_s, axis=0, keepdims=True)
+        if interval:
+            # sqrt-free interval test. Occlusion is "the quadratic has a
+            # root in the closed [t_min, t_max]" (exactly the reference's
+            # near-then-far selection + range check — if the near root is
+            # below t_min the far root is the candidate, and a root exists
+            # in range iff the monic parabola f(t) = (t + hb)^2 - disc
+            # crosses zero there): f(a)f(b) <= 0 catches a single crossing
+            # (boundaries inclusive), and both-roots-inside needs the vertex
+            # -hb in range with disc >= 0 while f is positive at both ends.
+            # Rounding differs from the sqrt form only on knife-edge lanes
+            # (the documented determinism freedom). PT_ANYHIT_INTERVAL=1.
+            ta = t_min + half_b
+            tb = t_max + half_b
+            fa = ta * ta - disc
+            fb = tb * tb - disc
+            ok_any = (fa * fb <= 0.0) | (
+                (fa > 0.0) & (disc >= 0.0) & (ta <= 0.0) & (tb >= 0.0)
+            )
+            ok_any = ok_any & (t_max >= t_min)   # empty ranges never hit
+            occ = occ | jnp.any(ok_any, axis=0, keepdims=True)
+        else:
+            sq = jnp.sqrt(disc)
+            root1 = -half_b - sq
+            t_c = jnp.where(root1 >= t_min, root1, -half_b + sq)
+            ok_s = (t_c >= t_min) & (t_c <= t_max)
+            occ = occ | jnp.any(ok_s, axis=0, keepdims=True)
     occ_ref[:, :] = occ.astype(jnp.int32)
 
 
@@ -1477,9 +1498,10 @@ def any_hit_quad(
     pool path — same hit criteria, knife-edge lanes may round differently
     than the VPU path (documented determinism contract).
     """
+    import os as _os
     if ray_tile is None:
-        import os as _os
         ray_tile = int(_os.environ.get("PT_FUSED_RAY_TILE", "0")) or RAY_TILE
+    interval = bool(_os.environ.get("PT_ANYHIT_INTERVAL"))
     n = t_max.shape[0]
     n_pad = _cdiv(n, ray_tile) * ray_tile
     dtype = o.dtype
@@ -1501,7 +1523,7 @@ def any_hit_quad(
 
     vma = frozenset().union(*(jax.typeof(a).vma for a in (o, d, t_max)))
     occ = pl.pallas_call(
-        functools.partial(_quad_anyhit_kernel, eps=eps),
+        functools.partial(_quad_anyhit_kernel, eps=eps, interval=interval),
         grid=(n_pad // ray_tile,),
         in_specs=[
             spec(3), spec(3), spec(1),

@@ -345,13 +345,27 @@ def test_quad_anyhit_matches_f64_oracle():
     t_max[:17] = -1.0          # the pool's no-NEE sentinel: never occluded
     eps = 1e-3
 
-    got = np.asarray(pallas_shade.any_hit_quad(
-        tables,
-        jnp.asarray(o.T, jnp.float32),
-        jnp.asarray(d.T, jnp.float32),
-        jnp.asarray(t_max, jnp.float32),
-        eps=eps, interpret=True, ray_tile=256,
-    ))
+    import os
+
+    def run_quad():
+        return np.asarray(pallas_shade.any_hit_quad(
+            tables,
+            jnp.asarray(o.T, jnp.float32),
+            jnp.asarray(d.T, jnp.float32),
+            jnp.asarray(t_max, jnp.float32),
+            eps=eps, interpret=True, ray_tile=256,
+        ))
+
+    got = run_quad()
+    # The sqrt-free interval formulation (PT_ANYHIT_INTERVAL=1) must obey
+    # the same oracle on the same robust lanes.
+    os.environ["PT_ANYHIT_INTERVAL"] = "1"
+    jax.clear_caches()
+    try:
+        got_interval = run_quad()
+    finally:
+        del os.environ["PT_ANYHIT_INTERVAL"]
+        jax.clear_caches()
 
     # f64 oracle with per-primitive decision margins.
     delta = 2e-2
@@ -411,6 +425,8 @@ def test_quad_anyhit_matches_f64_oracle():
     assert confident.mean() > 0.8   # the filter must not trivialize the test
     np.testing.assert_array_equal(got[confident], occ[confident])
     assert not got[:17].any()       # sentinel lanes never occlude
+    np.testing.assert_array_equal(got_interval[confident], occ[confident])
+    assert not got_interval[:17].any()
 
 
 def test_pool_quad_shadow_matches_vpu_path():
