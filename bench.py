@@ -8,34 +8,54 @@ production path: path regeneration keeps slot occupancy ~100%, and the ray
 counter is maintained on device (traced primary+bounce rays plus NEE shadow
 rays, i.e. actual scene-traversal queries).
 
-Timing notes for this environment: the TPU is reached through a tunnel whose
-dispatch pipelining can hide incomplete work, so the timed region is closed by
-forcing a host transfer of the result sums; compilation happens in an untimed
-warmup call with a perturbed camera (same shapes, different values).
+Outage-proofing (round-4): the TPU here is reached through a tunnel that can
+wedge for hours; merely calling ``jax.devices()`` then raises or hangs. So
+this script runs as a SUPERVISOR that never touches the axon plugin itself:
+it launches the actual benchmark in a timeout-guarded child subprocess, and
+if the TPU child fails or hangs it re-runs the child on CPU (which the axon
+plugin cannot block: the child pins ``jax_platforms=cpu`` before any device
+query). The supervisor therefore always exits 0 with one parseable JSON line.
+
+Timing notes for this environment: the TPU tunnel's dispatch pipelining can
+hide incomplete work, so the timed region is closed by forcing a host
+transfer of the result sums; compilation happens in an untimed warmup call
+with a perturbed camera (same shapes, different values).
 """
 
-import dataclasses
 import json
 import os
+import subprocess
 import sys
-import time
-
-import jax
-import jax.numpy as jnp
-
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
-# The TPU tunnel plugin in this environment ignores the JAX_PLATFORMS env
-# var; honor it explicitly so a CPU run can be forced.
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
-from pathtrace_tpu.models import scenes  # noqa: E402
-from pathtrace_tpu.pool import busy_count, ray_count, render_pool  # noqa: E402
 
 TARGET_MRAYS = 500.0
 
+# Generous: remote compiles through the tunnel vary 5-400 s; the timed run
+# itself is ~1.5 s. The driver's own timeout is unknown but was >40 min in
+# round 3, so 25 min for the TPU attempt leaves room for the CPU fallback.
+TPU_CHILD_TIMEOUT_S = int(os.environ.get("PT_BENCH_TPU_TIMEOUT", "1500"))
+CPU_CHILD_TIMEOUT_S = int(os.environ.get("PT_BENCH_CPU_TIMEOUT", "900"))
 
-def main():
+
+def _bench_child():
+    """The actual benchmark. Runs in a subprocess; prints one JSON line."""
+    import dataclasses
+    import time
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp")
+    )
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+    # explicitly so the supervisor's CPU fallback actually lands on CPU.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    import jax.numpy as jnp
+
+    from pathtrace_tpu.models import scenes
+    from pathtrace_tpu.pool import busy_count, ray_count, render_pool
+
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
 
@@ -92,6 +112,71 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+def _run_child(extra_env, timeout_s):
+    """Run this script as a bench child; return its parsed JSON line or None."""
+    env = dict(os.environ)
+    env["_PT_BENCH_CHILD"] = "1"
+    env.update(extra_env)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None, "timeout after %ds" % timeout_s
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line), None
+        except (json.JSONDecodeError, ValueError):
+            continue
+    tail = (proc.stderr or "").strip().splitlines()[-3:]
+    return None, "rc=%d %s" % (proc.returncode, " | ".join(tail))
+
+
+def main():
+    if os.environ.get("_PT_BENCH_CHILD"):
+        _bench_child()
+        return 0
+
+    attempts = []
+    force_cpu = os.environ.get("JAX_PLATFORMS") == "cpu"
+    if not force_cpu:
+        result, err = _run_child({}, TPU_CHILD_TIMEOUT_S)
+        if result is not None:
+            print(json.dumps(result))
+            return 0
+        attempts.append("tpu: %s" % err)
+
+    # TPU unreachable (or CPU forced): same code path on host CPU.
+    result, err = _run_child(
+        {"JAX_PLATFORMS": "cpu", "PT_BENCH_SMALL": "1"}, CPU_CHILD_TIMEOUT_S
+    )
+    if result is not None:
+        if attempts:
+            result["extra"]["fallback_reason"] = "; ".join(attempts)
+        print(json.dumps(result))
+        return 0
+    attempts.append("cpu: %s" % err)
+
+    # Last resort: still emit one parseable JSON line rather than dying.
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/sec/chip (many-sphere MIS)",
+                "value": 0.0,
+                "unit": "Mrays/s",
+                "vs_baseline": 0.0,
+                "extra": {"platform": "none", "error": "; ".join(attempts)},
+            }
+        )
+    )
+    return 0
 
 
 if __name__ == "__main__":

@@ -51,6 +51,7 @@ def cmd_render(args) -> int:
     from .pool import render_pool
 
     scene, camera = _build(args)
+    dtype = jnp.float64 if args.dtype == "f64" else None
     cfg = RenderConfig(
         width=args.width,
         height=args.height,
@@ -59,6 +60,7 @@ def cmd_render(args) -> int:
         max_bounces=args.max_bounces,
         seed=args.seed,
         samples_per_batch=args.samples_per_batch,
+        dtype=dtype,
     )
 
     state = None
@@ -77,6 +79,7 @@ def cmd_render(args) -> int:
                 scene, camera, width=args.width, height=args.height, spp=n,
                 integrator=args.integrator, max_bounces=args.max_bounces,
                 num_slots=args.pool_slots, seed=args.seed, sample_offset=done,
+                dtype=dtype,
             )
             image_sum = img if image_sum is None else image_sum + img
             done += n
@@ -187,6 +190,14 @@ def main(argv=None) -> int:
         sp.add_argument("--max-bounces", type=int, default=64)
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument(
+            "--dtype",
+            choices=["f32", "f64"],
+            default="f32",
+            help="estimator compute precision; f64 matches the reference's "
+            "native precision (math.rs:4-8) and flips the process-global "
+            "jax_enable_x64 switch at startup",
+        )
+        sp.add_argument(
             "--method",
             choices=["auto", "pallas", "binned", "resident", "bruteforce"],
             default="auto",
@@ -227,6 +238,11 @@ def main(argv=None) -> int:
     d.set_defaults(fn=cmd_debug_pixel)
 
     args = p.parse_args(argv)
+    if getattr(args, "dtype", "f32") == "f64":
+        # Must flip before any array is created (process-global switch).
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     if getattr(args, "method", "auto") != "auto":
         from .ops.intersect import set_default_method
 

@@ -767,7 +767,7 @@ def _pool_loop(
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "integrator", "max_bounces", "num_slots", "seed",
-        "sample_offset",
+        "sample_offset", "dtype",
     ),
 )
 def render_pool(
@@ -782,8 +782,13 @@ def render_pool(
     num_slots: int = 32768,
     seed: int = 0,
     sample_offset: int = 0,
+    dtype=None,
 ):
     """Render the full frame with a saturated path pool.
+
+    ``dtype`` selects the estimator's compute precision (None keeps the
+    scene/camera dtypes); ``jnp.float64`` matches the reference's native
+    precision (math.rs:4-8) and needs the process-global ``jax_enable_x64``.
 
     Returns ``(image_sum (H*W, 3), counters, iterations)``; divide by spp
     for mean radiance. ``counters`` is a ``(4,)`` uint32
@@ -808,6 +813,11 @@ def render_pool(
     :func:`_pool_loop` per device over a ``dp`` (pixel window) × ``sp``
     (sample window) mesh.
     """
+    if dtype is not None:
+        from .render import cast_floats
+
+        scene = cast_floats(scene, dtype)
+        camera = cast_floats(camera, dtype)
     num_pixels = width * height
     return _pool_loop(
         scene,

@@ -35,6 +35,33 @@ class RenderConfig:
     seed: int = 0
     samples_per_batch: int = 1  # samples traced per device dispatch
     pixel_chunk: Optional[int] = None  # split the pixel wave to bound memory
+    # Compute dtype for the whole estimator (None = keep the scene/camera
+    # dtypes, i.e. float32). jnp.float64 reproduces the reference's native
+    # precision (math.rs:4-8 computes in f64 throughout); it requires the
+    # process-global jax_enable_x64 switch, checked loudly in cast_floats.
+    dtype: Optional[object] = None
+
+
+def cast_floats(tree, dtype):
+    """Cast every floating-point leaf of a pytree (Scene / Camera / state)
+    to ``dtype``, leaving integer leaves (material ids, counts) alone.
+
+    Raises if a 64-bit dtype is requested without ``jax_enable_x64`` — JAX
+    would otherwise silently truncate the astype back to 32-bit.
+    """
+    dtype = jnp.dtype(dtype)
+    if dtype.itemsize == 8 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "dtype=float64 requires the process-global x64 switch: set "
+            "JAX_ENABLE_X64=1 or jax.config.update('jax_enable_x64', True) "
+            "before creating arrays (the CLI's --dtype f64 does this)."
+        )
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+        else a,
+        tree,
+    )
 
 
 @dataclasses.dataclass
@@ -123,6 +150,13 @@ def render(
     """Full render (or continuation of ``state``) on the local device."""
     w, h = config.width, config.height
     assert camera.width == w and camera.height == h, "camera/config size mismatch"
+    if config.dtype is not None:
+        scene = cast_floats(scene, config.dtype)
+        camera = cast_floats(camera, config.dtype)
+        if state is not None:
+            state = RenderState(
+                state.image_sum.astype(config.dtype), state.num_samples
+            )
     key = rng_ops.base_key(config.seed)
     ids = pixel_grid(w, h)
 

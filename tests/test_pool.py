@@ -70,16 +70,15 @@ from pathtrace_tpu.render import RenderConfig, render
 
 W = H = 12
 SPP = 2
-sc = jax.tree_util.tree_map(
-    lambda a: a.astype(jnp.float64) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-    scenes.cornell_box(),
-)
+sc = scenes.cornell_box()
 cam = scenes.cornell_camera(W, H)
-cam = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), cam)
 ref = render(sc, cam, RenderConfig(width=W, height=H, spp=SPP, integrator="mis",
-                                   max_bounces=8, seed=3, samples_per_batch=SPP))
+                                   max_bounces=8, seed=3, samples_per_batch=SPP,
+                                   dtype=jnp.float64))
 img, rays, iters = render_pool(sc, cam, width=W, height=H, spp=SPP,
-                               integrator="mis", max_bounces=8, num_slots=37, seed=3)
+                               integrator="mis", max_bounces=8, num_slots=37, seed=3,
+                               dtype=jnp.float64)
+assert img.dtype == jnp.float64 and ref.image_sum.dtype == jnp.float64
 a = np.asarray(img).reshape(H, W, 3)
 b = np.asarray(ref.image_sum)
 denom = np.maximum(np.abs(b), 1.0)

@@ -133,3 +133,25 @@ def test_metrics_rmse_harness(tmp_path):
     rep = rmse_vs_reference_csv(img, p)
     assert rep["rmse"] < 1e-5  # self-comparison through the CSV round-trip
     assert rmse(img, img) == 0.0
+
+
+def test_cast_floats_f64_requires_x64():
+    """The dtype knob must fail loudly, not silently truncate to f32, when
+    x64 isn't enabled (jax_enable_x64 is process-global and off in tests)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from pathtrace_tpu.render import cast_floats
+
+    sc = scenes.cornell_box()
+    with pytest.raises(ValueError, match="x64"):
+        cast_floats(sc, jnp.float64)
+    # bf16 downcast path works without the switch and leaves ints alone.
+    lo = cast_floats(sc, jnp.bfloat16)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(sc), jax.tree_util.tree_leaves(lo)):
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            assert b.dtype == jnp.bfloat16
+        else:
+            assert b.dtype == a.dtype
