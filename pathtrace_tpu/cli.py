@@ -199,11 +199,12 @@ def main(argv=None) -> int:
         )
         sp.add_argument(
             "--method",
-            choices=["auto", "pallas", "binned", "resident", "bruteforce"],
+            choices=["auto", "pallas", "binned", "resident", "bvh", "bruteforce"],
             default="auto",
             help="intersection traversal (auto = platform default with "
-            "per-wave coherence routing; binned/resident = per-ray "
-            "front-to-back orders for big meshes)",
+            "per-wave coherence routing; binned/resident/bvh = per-ray "
+            "front-to-back orders for big meshes, bvh = two-level "
+            "union-sweep hierarchy)",
         )
 
     r = sub.add_parser("render", help="render a still image")

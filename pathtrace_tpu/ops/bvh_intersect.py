@@ -1,0 +1,411 @@
+"""Two-level BVH mesh traversal, single-dispatch union sweep (generation 4).
+
+The hierarchical answer to the reference's O(N) linear scan
+(/root/reference/src/world.rs:270-290): triangles are morton-ordered at build
+(models/scene.py), grouped into 128-triangle *leaves*, and leaves into
+16-leaf *supergroups* — a fixed-topology two-level LBVH whose AABBs are
+derived from the soup at trace time, so any granularity works without a
+Scene-format change.
+
+Why not a classic per-ray stack descent: TPU lanes can't gather per-lane node
+addresses profitably, and the third-generation kernel (resident_intersect.py)
+showed the real costs are (a) per-(tile,cluster) visit constants and (b) how
+many visits a subtile pays. Its one-cluster-per-lane-per-round loop re-visits
+a cluster every round some lane picks it, and pays a full (C, W) min/argmin/
+clear pass per round. This kernel instead sweeps the *union* of entered
+nodes, once each, in aggregated front-to-back order:
+
+  per 256-lane subtile:
+    group entries   (G, W) slab tests, computed once  (G = C/16 ≈ 35 @ 70k)
+    round loop:     pick the nearest group any live lane enters (packed
+                    (entry,id) int32 key, one min-reduce — conservative
+                    mantissa truncation can only visit早, never skip);
+                    compute its 16 leaf entries (16, W) on the fly;
+                    unrolled leaf sweep, each leaf gated per lane by
+                    ``leaf_entry < min(best_t, t_max)`` — the reference's
+                    per-ray early-out bound (rendering.rs:104-133),
+                    re-tightened after every leaf; clear the group.
+    stop:           when no live lane has an unvisited group nearer than
+                    its bound.
+
+Each (subtile, leaf) pair is visited at most once; group-level culling means
+leaf entry math only runs for entered supergroups (shadow rays and local
+bounces skip most of the scene). The triangle table is the lane-transposed
+(16, T) VMEM-resident layout proven in resident_intersect.py (4.5 MB at 70k
+tris); scenes whose table exceeds the VMEM budget fall back to the streaming
+per-tile kernels at the dispatch layer (ops/intersect.py).
+
+Math and epsilons match ops.pallas_intersect exactly (Möller–Trumbore,
+shape.rs:161-198: 1e-8 parallel reject, inclusive barycentric bounds, closed
+[t_min, t_max]).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_intersect import _cdiv, _out_struct, _pad_rows, _select_winner
+from .resident_intersect import (
+    _derived_aabbs,
+    _mt_columns,
+    _mt_ts,
+    _pack_table,
+)
+
+_INF = float("inf")
+
+RAY_TILE = 1024
+SUB_W = 256        # lanes per independent traversal span (multiple of 128)
+PRIM_TILE = 128    # triangles per leaf (lane-axis slices need 128 alignment)
+GROUP = 16         # leaves per supergroup
+
+# Packed +inf with the id bits stripped (see _packed_group_key).
+_EXHAUSTED = 0x7F800000
+
+
+def _group_aabbs(laabb, c_rows, group, dtype):
+    """Supergroup AABBs by reducing leaf AABBs over ``group``-row blocks.
+
+    Leaf padding rows carry inverted boxes (+inf/-inf), so a padding group's
+    reduction stays inverted and is never entered. Returns ``(gaabb (G_pad,
+    8), n_groups, g_pad)`` with G_pad a multiple of 8.
+    """
+    n_groups = _cdiv(c_rows, group)
+    rows = n_groups * group
+    pad = rows - laabb.shape[0]
+    if pad < 0:
+        # _derived_aabbs pads leaf rows to a multiple of 8, which can exceed
+        # a whole number of groups; the surplus rows are inverted padding.
+        laabb = laabb[:rows]
+        pad = 0
+    if pad:
+        laabb = jnp.concatenate(
+            [
+                laabb,
+                jnp.concatenate(
+                    [
+                        jnp.full((pad, 3), _INF, dtype),
+                        jnp.full((pad, 3), -_INF, dtype),
+                        jnp.zeros((pad, 2), dtype),
+                    ],
+                    axis=1,
+                ),
+            ],
+            axis=0,
+        )
+    blocks = laabb.reshape(n_groups, group, 8)
+    gmin = blocks[:, :, 0:3].min(axis=1)
+    gmax = blocks[:, :, 3:6].max(axis=1)
+    gaabb = jnp.concatenate([gmin, gmax, jnp.zeros((n_groups, 2), dtype)], axis=1)
+    g_pad = max(8, _cdiv(n_groups, 8) * 8)
+    if g_pad > n_groups:
+        gaabb = jnp.concatenate(
+            [
+                gaabb,
+                jnp.concatenate(
+                    [
+                        jnp.full((g_pad - n_groups, 3), _INF, dtype),
+                        jnp.full((g_pad - n_groups, 3), -_INF, dtype),
+                        jnp.zeros((g_pad - n_groups, 2), dtype),
+                    ],
+                    axis=1,
+                ),
+            ],
+            axis=0,
+        )
+    return laabb, gaabb, n_groups, g_pad
+
+
+def _entries_from(box, ox, oy, oz, dx, dy, dz, t_min, t_up):
+    """(rows, W) conservative entry distances from a (rows, 8) AABB block
+    (value or ref slice): +inf where the [t_min, t_up] segment misses."""
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) < 1e-20, 1e-20, c)
+
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+    mnx, mny, mnz = box[:, 0:1], box[:, 1:2], box[:, 2:3]
+    mxx, mxy, mxz = box[:, 3:4], box[:, 4:5], box[:, 5:6]
+    ax, bx = (mnx - ox) * ix, (mxx - ox) * ix
+    ay, by = (mny - oy) * iy, (mxy - oy) * iy
+    az, bz = (mnz - oz) * iz, (mxz - oz) * iz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(ax, bx), jnp.minimum(ay, by)),
+        jnp.maximum(jnp.minimum(az, bz), t_min),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(ax, bx), jnp.maximum(ay, by)),
+        jnp.minimum(jnp.maximum(az, bz), t_up),
+    )
+    # Inverted (empty) padding boxes pass the slab min/max formulation —
+    # exclude by validity, not geometry (same gotcha as binned_intersect).
+    valid = mnx <= mxx
+    return jnp.where((tn <= tf) & valid, tn, _INF)
+
+
+def _id_bits(n: int) -> int:
+    bits = 1
+    while (1 << bits) <= n:
+        bits += 1
+    return bits
+
+
+def _packed_group_key(e_live, g_rows):
+    """Pack (entry, group id) into one int32 per (G, W) cell so a single
+    min-reduce yields both the nearest entered group and a conservative
+    (truncated-down) bound. Entries are positive floats, so the int32
+    bitcast is order-preserving; the low ``bits`` mantissa bits carry the
+    group id (truncation can only visit a group early, never skip one).
+    +inf packs to 0x7F8000xx whose value bits still compare == _EXHAUSTED."""
+    bits = _id_bits(g_rows)
+    idmask = jnp.int32((1 << bits) - 1)
+    eb = jax.lax.bitcast_convert_type(e_live, jnp.int32)
+    ids = jax.lax.broadcasted_iota(jnp.int32, e_live.shape, 0)
+    return (eb & ~idmask) | ids, idmask
+
+
+def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
+                        tri_ref, t_ref, i_ref, n_ref, m_ref, ge,
+                        *, g_rows, group, prim_tile, sub_w):
+    t_ref[:, :] = jnp.full(t_ref.shape, _INF)
+    i_ref[:, :] = jnp.full(i_ref.shape, -1, jnp.int32)
+    n_ref[:, :] = jnp.zeros(n_ref.shape, n_ref.dtype)
+    m_ref[:, :] = jnp.zeros(m_ref.shape, jnp.int32)
+
+    width = o_ref.shape[1]
+    for j in range(width // sub_w):
+        sl = slice(j * sub_w, (j + 1) * sub_w)
+        ox, oy, oz = o_ref[0:1, sl], o_ref[1:2, sl], o_ref[2:3, sl]
+        dx, dy, dz = d_ref[0:1, sl], d_ref[1:2, sl], d_ref[2:3, sl]
+        t_min = tmin_ref[0:1, sl]
+        t_up = tup_ref[0:1, sl]
+        ge[:, sl] = _entries_from(gaabb_ref[:, :], ox, oy, oz, dx, dy, dz,
+                                  t_min, t_up)
+
+        def round_body(carry):
+            bound = jnp.minimum(t_ref[0:1, sl], t_up)
+            e = ge[:, sl]                                       # (G, W)
+            e_live = jnp.where(e < bound, e, _INF)
+            keys, idmask = _packed_group_key(e_live, g_rows)
+            kmin = jnp.min(keys)                                # scalar
+            gstar = kmin & idmask
+            alive = (kmin & ~idmask) < _EXHAUSTED
+
+            @pl.when(alive)
+            def _():
+                lb = laabb_ref[pl.ds(gstar * group, group), :]  # (group, 8)
+                le = _entries_from(lb, ox, oy, oz, dx, dy, dz, t_min, t_up)
+
+                for k in range(group):                          # unrolled
+                    cur_best = t_ref[0:1, sl]
+                    t_hi = jnp.minimum(cur_best, t_up)
+                    gate = le[k:k + 1, :] < t_hi
+
+                    @pl.when(jnp.any(gate))
+                    def _():
+                        base = (gstar * group + k) * prim_tile
+                        cols = tri_ref[:, pl.ds(base, prim_tile)].T
+                        mt = _mt_columns(cols, anyhit=False)
+                        ts = _mt_ts(mt[:9], ox, oy, oz, dx, dy, dz,
+                                    t_min, t_hi, gate)
+                        tmin_tile = jnp.min(ts, axis=0, keepdims=True)
+                        argp = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
+                        better = tmin_tile < cur_best
+                        row_iota = jax.lax.broadcasted_iota(
+                            jnp.int32, ts.shape, 0
+                        )
+                        mask_f = ((row_iota == argp) & better).astype(ts.dtype)
+                        nxyz, matid = mt[9], mt[10]
+                        snx, sny, snz, sm = _select_winner(
+                            mask_f, (*nxyz, matid)
+                        )
+                        t_ref[0:1, sl] = jnp.where(better, tmin_tile, cur_best)
+                        i_ref[0:1, sl] = jnp.where(
+                            better, base + argp, i_ref[0:1, sl]
+                        )
+                        nrm = jnp.concatenate([snx, sny, snz], axis=0)
+                        n_ref[0:3, sl] = jnp.where(better, nrm, n_ref[0:3, sl])
+                        m_ref[0:1, sl] = jnp.where(
+                            better, sm, m_ref[0:1, sl].astype(ts.dtype)
+                        ).astype(jnp.int32)
+
+                iota_g = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
+                ge[:, sl] = jnp.where(iota_g == gstar, _INF, e)
+
+            return jnp.where(alive, carry + 1, jnp.int32(-1))
+
+        jax.lax.while_loop(lambda c: c >= 0, round_body, jnp.int32(0))
+
+
+def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
+                       tri_ref, occ_ref, ge,
+                       *, g_rows, group, prim_tile, sub_w):
+    occ_ref[:, :] = jnp.zeros(occ_ref.shape, jnp.int32)
+
+    width = o_ref.shape[1]
+    for j in range(width // sub_w):
+        sl = slice(j * sub_w, (j + 1) * sub_w)
+        ox, oy, oz = o_ref[0:1, sl], o_ref[1:2, sl], o_ref[2:3, sl]
+        dx, dy, dz = d_ref[0:1, sl], d_ref[1:2, sl], d_ref[2:3, sl]
+        t_min = tmin_ref[0:1, sl]
+        t_max = tmax_ref[0:1, sl]
+        ge[:, sl] = _entries_from(gaabb_ref[:, :], ox, oy, oz, dx, dy, dz,
+                                  t_min, t_max)
+
+        def round_body(carry):
+            live = (occ_ref[0:1, sl] == 0)
+            e = ge[:, sl]
+            e_live = jnp.where(live & (e < t_max), e, _INF)
+            keys, idmask = _packed_group_key(e_live, g_rows)
+            kmin = jnp.min(keys)
+            gstar = kmin & idmask
+            alive = (kmin & ~idmask) < _EXHAUSTED
+
+            @pl.when(alive)
+            def _():
+                lb = laabb_ref[pl.ds(gstar * group, group), :]
+                le = _entries_from(lb, ox, oy, oz, dx, dy, dz, t_min, t_max)
+
+                for k in range(group):                          # unrolled
+                    gate = (occ_ref[0:1, sl] == 0) & (le[k:k + 1, :] < t_max)
+
+                    @pl.when(jnp.any(gate))
+                    def _():
+                        base = (gstar * group + k) * prim_tile
+                        cols = tri_ref[:, pl.ds(base, prim_tile)].T
+                        mt = _mt_columns(cols, anyhit=True)
+                        ts = _mt_ts(mt[:9], ox, oy, oz, dx, dy, dz,
+                                    t_min, t_max, gate)
+                        hit = jnp.any(ts < _INF, axis=0, keepdims=True)
+                        occ_ref[0:1, sl] = (
+                            occ_ref[0:1, sl] | hit.astype(jnp.int32)
+                        )
+
+                iota_g = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
+                ge[:, sl] = jnp.where(iota_g == gstar, _INF, e)
+
+            return jnp.where(alive, carry + 1, jnp.int32(-1))
+
+        jax.lax.while_loop(lambda c: c >= 0, round_body, jnp.int32(0))
+
+
+def _prep(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat, dtype,
+          prim_tile, group, ray_tile, anyhit):
+    n = o.shape[0]
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, dtype), (n,))
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, dtype), (n,))
+    c_real = _cdiv(v0.shape[0], prim_tile)
+    n_groups = _cdiv(c_real, group)
+    # Table padded to a whole number of groups so every unrolled leaf slice
+    # of a *visited* group is in bounds (padding leaves are all-zero ->
+    # rejected by |a| < 1e-8; padding groups carry inverted boxes and are
+    # never visited at all).
+    t_rows = n_groups * group * prim_tile
+    tri = _pack_table(v0, e1, e2, tri_normal, tri_mat, t_rows, dtype, anyhit)
+    laabb, _ = _derived_aabbs(v0, e1, e2, t_rows, prim_tile, dtype)
+    laabb, gaabb, n_groups, g_pad = _group_aabbs(
+        laabb, t_rows // prim_tile, group, dtype
+    )
+
+    n_pad = _cdiv(n, ray_tile) * ray_tile
+    o_t = _pad_rows(o, n_pad).T
+    d_t = _pad_rows(d, n_pad, fill=1.0).T
+    tmin_r = _pad_rows(t_min_b[:, None], n_pad, fill=_INF).T
+    tup_r = _pad_rows(t_max_b[:, None], n_pad, fill=-_INF).T
+    return tri, laabb, gaabb, g_pad, o_t, d_t, tmin_r, tup_r, n_pad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "prim_tile", "group", "sub_w", "ray_tile"),
+)
+def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
+                         interpret=False, prim_tile=PRIM_TILE, group=GROUP,
+                         sub_w=SUB_W, ray_tile=RAY_TILE):
+    """Closest triangle hit via the two-level union-sweep traversal.
+
+    Same return contract as pallas_intersect.triangle_closest:
+    ``(t (N,), global row idx (N,), outward normal (N,3), mat (N,))``.
+    Callers should pre-sort the wave spatially (ops/intersect.py does) so
+    subtiles stay union-coherent; results are exact in any order.
+    """
+    n = o.shape[0]
+    dtype = o.dtype
+    tri, laabb, gaabb, g_pad, o_t, d_t, tmin_r, tup_r, n_pad = _prep(
+        o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat, dtype,
+        prim_tile, group, ray_tile, anyhit=False,
+    )
+    # Closest-hit padding lanes: t_max = +inf would keep them live forever;
+    # give them an inverted [inf, -inf] range instead (tup fill above).
+
+    grid = (n_pad // ray_tile,)
+
+    def spec(k):
+        return pl.BlockSpec((k, ray_tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    t, i, nrm, m = pl.pallas_call(
+        functools.partial(_bvh_closest_kernel, g_rows=g_pad, group=group,
+                          prim_tile=prim_tile, sub_w=sub_w),
+        grid=grid,
+        in_specs=[
+            spec(3), spec(3), spec(1), spec(1),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gaabb (G, 8), resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # laabb (C, 8), resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri (16, T), resident
+        ],
+        out_specs=[spec(1), spec(1), spec(3), spec(1)],
+        out_shape=[
+            _out_struct((1, n_pad), dtype, o, d),
+            _out_struct((1, n_pad), jnp.int32, o, d),
+            _out_struct((3, n_pad), dtype, o, d),
+            _out_struct((1, n_pad), jnp.int32, o, d),
+        ],
+        scratch_shapes=[pltpu.VMEM((g_pad, ray_tile), dtype)],
+        interpret=interpret,
+    )(o_t, d_t, tmin_r, tup_r, gaabb, laabb, tri)
+    return t[0, :n], i[0, :n], nrm[:, :n].T, m[0, :n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "prim_tile", "group", "sub_w", "ray_tile"),
+)
+def triangle_anyhit_bvh(o, d, t_min, t_max, v0, e1, e2, interpret=False,
+                        prim_tile=PRIM_TILE, group=GROUP, sub_w=SUB_W,
+                        ray_tile=RAY_TILE):
+    """Occlusion against the triangle soup, two-level union-sweep traversal.
+    Returns a bool (N,) mask; near-first group order settles lanes fastest."""
+    n = o.shape[0]
+    dtype = o.dtype
+    tri, laabb, gaabb, g_pad, o_t, d_t, tmin_r, tmax_r, n_pad = _prep(
+        o, d, t_min, t_max, v0, e1, e2, None, None, dtype,
+        prim_tile, group, ray_tile, anyhit=True,
+    )
+
+    grid = (n_pad // ray_tile,)
+
+    def spec(k):
+        return pl.BlockSpec((k, ray_tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    occ = pl.pallas_call(
+        functools.partial(_bvh_anyhit_kernel, g_rows=g_pad, group=group,
+                          prim_tile=prim_tile, sub_w=sub_w),
+        grid=grid,
+        in_specs=[
+            spec(3), spec(3), spec(1), spec(1),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=spec(1),
+        out_shape=_out_struct((1, n_pad), jnp.int32, o, d),
+        scratch_shapes=[pltpu.VMEM((g_pad, ray_tile), dtype)],
+        interpret=interpret,
+    )(o_t, d_t, tmin_r, tmax_r, gaabb, laabb, tri)
+    return occ[0, :n] != 0

@@ -398,9 +398,12 @@ def intersect(
     method = resolve_auto(method, scene.tri_v0.shape[0], coherent)
     binned = method in ("binned", "binned_interpret")
     resident = method in ("resident", "resident_interpret")
-    if binned or resident:
+    bvh = method in ("bvh", "bvh_interpret")
+    if binned or resident or bvh:
         method = (
-            "pallas" if method in ("binned", "resident") else "pallas_interpret"
+            "pallas"
+            if method in ("binned", "resident", "bvh")
+            else "pallas_interpret"
         )
     n = o.shape[0]
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, o.dtype), (n,))
@@ -434,6 +437,14 @@ def intersect(
         tri_small = t_rows_real <= 64
         sph_small = s_rows <= 512
         def run_tri(tmax):
+            if bvh and not tri_small:
+                from . import bvh_intersect as bv
+
+                return bv.triangle_closest_bvh(
+                    o, d, t_min_b, tmax, scene.tri_v0, scene.tri_e1,
+                    scene.tri_e2, scene.tri_normal, scene.tri_mat,
+                    interpret=interp,
+                )
             if resident and not tri_small:
                 from . import resident_intersect as rs
 
@@ -599,9 +610,12 @@ def occluded(
     method = resolve_auto(method, scene.tri_v0.shape[0], coherent)
     binned = method in ("binned", "binned_interpret")
     resident = method in ("resident", "resident_interpret")
-    if binned or resident:
+    bvh = method in ("bvh", "bvh_interpret")
+    if binned or resident or bvh:
         method = (
-            "pallas" if method in ("binned", "resident") else "pallas_interpret"
+            "pallas"
+            if method in ("binned", "resident", "bvh")
+            else "pallas_interpret"
         )
     if method in ("pallas", "pallas_interpret"):
         from . import pallas_intersect as pk
@@ -634,8 +648,15 @@ def occluded(
             None if tri_onetile
             else (scene.tri_cluster_min, scene.tri_cluster_max)
         )
-        if (binned or resident) and not tri_onetile:
-            if resident:
+        if (binned or resident or bvh) and not tri_onetile:
+            if bvh:
+                from . import bvh_intersect as bv
+
+                tri_occ = bv.triangle_anyhit_bvh(
+                    o, d, t_min_b, t_max_b, scene.tri_v0, scene.tri_e1,
+                    scene.tri_e2, interpret=method == "pallas_interpret",
+                )
+            elif resident:
                 from . import resident_intersect as rs
 
                 tri_occ = rs.triangle_anyhit_resident(

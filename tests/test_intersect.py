@@ -228,6 +228,8 @@ def test_pool_render_method_invariance():
         img_tile = np.asarray(render(scene, cam, cfg).image)
         set_default_method("binned_interpret")
         img_binned = np.asarray(render(scene, cam, cfg).image)
+        set_default_method("bvh_interpret")
+        img_bvh = np.asarray(render(scene, cam, cfg).image)
     finally:
         set_default_method(None)
     # Near-ulp tolerance, not bitwise: on a closed mesh a ray can hit a
@@ -236,6 +238,7 @@ def test_pool_render_method_invariance():
     # depends on cluster visit order, which differs between traversals.
     # Round 1's reorder bug was a >10% image shift; 1e-5 still catches it.
     np.testing.assert_allclose(img_tile, img_binned, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(img_tile, img_bvh, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(img_brute, img_binned, rtol=2e-3, atol=2e-3)
 
 
@@ -263,3 +266,42 @@ def test_resolve_auto_coherence_hints(monkeypatch):
     monkeypatch.setattr(im, "_METHOD_OVERRIDE", "pallas")
     monkeypatch.setattr(im, "default_method", lambda: "pallas")
     assert im.resolve_auto("auto", big, False) == "pallas"
+
+
+def test_bvh_method_matches_bruteforce():
+    """Two-level union-sweep traversal (ops/bvh_intersect.py) must produce
+    identical closest hits and occlusion as the bruteforce scan — same MT
+    math, hierarchical per-ray front-to-back order with bound gating."""
+    import jax
+    import numpy as np
+
+    from pathtrace_tpu.models import scenes
+
+    scene = scenes.mesh_scene(n_tris=2500)
+    key = jax.random.PRNGKey(11)
+    n = 2048  # 2 ray tiles, 8 subtiles each
+    lo = jnp.min(scene.tri_cluster_min, axis=0)
+    hi = jnp.max(scene.tri_cluster_max, axis=0)
+    o = jax.random.uniform(key, (n, 3)) * (hi - lo) + lo
+    d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    hb = intersect(scene, o, d, 1e-3, jnp.inf, method="bruteforce")
+    hp = intersect(scene, o, d, 1e-3, jnp.inf, method="bvh_interpret")
+    np.testing.assert_array_equal(np.asarray(hp.prim), np.asarray(hb.prim))
+    v = np.asarray(hb.prim >= 0)
+    tri_lane = v & (np.asarray(hb.prim) < scene.tri_v0.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[tri_lane], np.asarray(hb.t)[tri_lane], rtol=0,
+        atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[v], np.asarray(hb.t)[v], rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hp.front_face)[v], np.asarray(hb.front_face)[v]
+    )
+
+    ob = occluded(scene, o, d, 1e-3, 2.5, method="bruteforce")
+    op = occluded(scene, o, d, 1e-3, 2.5, method="bvh_interpret")
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
