@@ -43,6 +43,7 @@ shape.rs:161-198: 1e-8 parallel reject, inclusive barycentric bounds, closed
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_intersect import _cdiv, _out_struct, _pad_rows, _select_winner
 from .resident_intersect import (
+    _TAB_ROWS,
     _derived_aabbs,
     _mt_columns,
     _mt_ts,
@@ -169,8 +171,10 @@ def _packed_group_key(e_live, g_rows):
 
 
 def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
-                        tri_ref, t_ref, i_ref, n_ref, m_ref, ge,
-                        *, g_rows, group, prim_tile, sub_w):
+                        tri_ref, t_ref, i_ref, n_ref, m_ref, ge, *scratch,
+                        g_rows, group, prim_tile, sub_w, stream):
+    if stream:
+        gbuf, dma_sem = scratch
     t_ref[:, :] = jnp.full(t_ref.shape, _INF)
     i_ref[:, :] = jnp.full(i_ref.shape, -1, jnp.int32)
     n_ref[:, :] = jnp.zeros(n_ref.shape, n_ref.dtype)
@@ -199,6 +203,18 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
             def _():
                 lb = laabb_ref[pl.ds(gstar * group, group), :]  # (group, 8)
                 le = _entries_from(lb, ox, oy, oz, dx, dy, dz, t_min, t_up)
+                if stream:
+                    # One DMA per supergroup (16 leaves = group*prim_tile
+                    # triangles): amortizes the per-DMA constant 16x over
+                    # the streaming per-cluster kernels, and leaf slices
+                    # from the group buffer become static.
+                    cp = pltpu.make_async_copy(
+                        tri_ref.at[:, pl.ds(gstar * group * prim_tile,
+                                            group * prim_tile)],
+                        gbuf, dma_sem,
+                    )
+                    cp.start()
+                    cp.wait()
 
                 for k in range(group):                          # unrolled
                     cur_best = t_ref[0:1, sl]
@@ -208,7 +224,10 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
                     @pl.when(jnp.any(gate))
                     def _():
                         base = (gstar * group + k) * prim_tile
-                        cols = tri_ref[:, pl.ds(base, prim_tile)].T
+                        if stream:
+                            cols = gbuf[:, k * prim_tile:(k + 1) * prim_tile].T
+                        else:
+                            cols = tri_ref[:, pl.ds(base, prim_tile)].T
                         mt = _mt_columns(cols, anyhit=False)
                         ts = _mt_ts(mt[:9], ox, oy, oz, dx, dy, dz,
                                     t_min, t_hi, gate)
@@ -242,8 +261,10 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
 
 
 def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
-                       tri_ref, occ_ref, ge,
-                       *, g_rows, group, prim_tile, sub_w):
+                       tri_ref, occ_ref, ge, *scratch,
+                       g_rows, group, prim_tile, sub_w, stream):
+    if stream:
+        gbuf, dma_sem = scratch
     occ_ref[:, :] = jnp.zeros(occ_ref.shape, jnp.int32)
 
     width = o_ref.shape[1]
@@ -269,6 +290,14 @@ def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
             def _():
                 lb = laabb_ref[pl.ds(gstar * group, group), :]
                 le = _entries_from(lb, ox, oy, oz, dx, dy, dz, t_min, t_max)
+                if stream:
+                    cp = pltpu.make_async_copy(
+                        tri_ref.at[:, pl.ds(gstar * group * prim_tile,
+                                            group * prim_tile)],
+                        gbuf, dma_sem,
+                    )
+                    cp.start()
+                    cp.wait()
 
                 for k in range(group):                          # unrolled
                     gate = (occ_ref[0:1, sl] == 0) & (le[k:k + 1, :] < t_max)
@@ -276,7 +305,10 @@ def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
                     @pl.when(jnp.any(gate))
                     def _():
                         base = (gstar * group + k) * prim_tile
-                        cols = tri_ref[:, pl.ds(base, prim_tile)].T
+                        if stream:
+                            cols = gbuf[:, k * prim_tile:(k + 1) * prim_tile].T
+                        else:
+                            cols = tri_ref[:, pl.ds(base, prim_tile)].T
                         mt = _mt_columns(cols, anyhit=True)
                         ts = _mt_ts(mt[:9], ox, oy, oz, dx, dy, dz,
                                     t_min, t_max, gate)
@@ -319,19 +351,38 @@ def _prep(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat, dtype,
     return tri, laabb, gaabb, g_pad, o_t, d_t, tmin_r, tup_r, n_pad
 
 
+# Above this table size the triangle table streams from HBM (one DMA per
+# supergroup visit) instead of living VMEM-resident for the whole kernel —
+# the traversal itself is identical. ~6 MB leaves room for the entry scratch,
+# AABBs and the compiler's own buffers inside the 16 MB VMEM.
+VMEM_TABLE_BUDGET = int(os.environ.get("PT_BVH_VMEM_BUDGET", str(6 * 2**20)))
+
+
+def _resolve_stream(stream, t_rows, dtype):
+    if stream is not None:
+        return stream
+    return _TAB_ROWS * t_rows * jnp.dtype(dtype).itemsize > VMEM_TABLE_BUDGET
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "prim_tile", "group", "sub_w", "ray_tile"),
+    static_argnames=(
+        "interpret", "prim_tile", "group", "sub_w", "ray_tile", "stream"
+    ),
 )
 def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
                          interpret=False, prim_tile=PRIM_TILE, group=GROUP,
-                         sub_w=SUB_W, ray_tile=RAY_TILE):
+                         sub_w=SUB_W, ray_tile=RAY_TILE, stream=None):
     """Closest triangle hit via the two-level union-sweep traversal.
 
     Same return contract as pallas_intersect.triangle_closest:
     ``(t (N,), global row idx (N,), outward normal (N,3), mat (N,))``.
     Callers should pre-sort the wave spatially (ops/intersect.py does) so
     subtiles stay union-coherent; results are exact in any order.
+
+    ``stream=None`` auto-selects: tables over VMEM_TABLE_BUDGET stream from
+    HBM one supergroup per visit (unbounded scene size), smaller tables stay
+    VMEM-resident for the whole dispatch.
     """
     n = o.shape[0]
     dtype = o.dtype
@@ -339,6 +390,7 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
         o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat, dtype,
         prim_tile, group, ray_tile, anyhit=False,
     )
+    stream = _resolve_stream(stream, tri.shape[1], dtype)
     # Closest-hit padding lanes: t_max = +inf would keep them live forever;
     # give them an inverted [inf, -inf] range instead (tup fill above).
 
@@ -348,15 +400,25 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
         return pl.BlockSpec((k, ray_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
+    tri_spec = pl.BlockSpec(
+        memory_space=pltpu.ANY if stream else pltpu.VMEM
+    )
+    scratch = [pltpu.VMEM((g_pad, ray_tile), dtype)]
+    if stream:
+        scratch += [
+            pltpu.VMEM((_TAB_ROWS, group * prim_tile), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+
     t, i, nrm, m = pl.pallas_call(
         functools.partial(_bvh_closest_kernel, g_rows=g_pad, group=group,
-                          prim_tile=prim_tile, sub_w=sub_w),
+                          prim_tile=prim_tile, sub_w=sub_w, stream=stream),
         grid=grid,
         in_specs=[
             spec(3), spec(3), spec(1), spec(1),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # gaabb (G, 8), resident
             pl.BlockSpec(memory_space=pltpu.VMEM),   # laabb (C, 8), resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri (16, T), resident
+            tri_spec,                                # tri (16, T)
         ],
         out_specs=[spec(1), spec(1), spec(3), spec(1)],
         out_shape=[
@@ -365,7 +427,7 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
             _out_struct((3, n_pad), dtype, o, d),
             _out_struct((1, n_pad), jnp.int32, o, d),
         ],
-        scratch_shapes=[pltpu.VMEM((g_pad, ray_tile), dtype)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(o_t, d_t, tmin_r, tup_r, gaabb, laabb, tri)
     return t[0, :n], i[0, :n], nrm[:, :n].T, m[0, :n]
@@ -373,19 +435,23 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "prim_tile", "group", "sub_w", "ray_tile"),
+    static_argnames=(
+        "interpret", "prim_tile", "group", "sub_w", "ray_tile", "stream"
+    ),
 )
 def triangle_anyhit_bvh(o, d, t_min, t_max, v0, e1, e2, interpret=False,
                         prim_tile=PRIM_TILE, group=GROUP, sub_w=SUB_W,
-                        ray_tile=RAY_TILE):
+                        ray_tile=RAY_TILE, stream=None):
     """Occlusion against the triangle soup, two-level union-sweep traversal.
-    Returns a bool (N,) mask; near-first group order settles lanes fastest."""
+    Returns a bool (N,) mask; near-first group order settles lanes fastest.
+    ``stream`` as in :func:`triangle_closest_bvh`."""
     n = o.shape[0]
     dtype = o.dtype
     tri, laabb, gaabb, g_pad, o_t, d_t, tmin_r, tmax_r, n_pad = _prep(
         o, d, t_min, t_max, v0, e1, e2, None, None, dtype,
         prim_tile, group, ray_tile, anyhit=True,
     )
+    stream = _resolve_stream(stream, tri.shape[1], dtype)
 
     grid = (n_pad // ray_tile,)
 
@@ -393,19 +459,29 @@ def triangle_anyhit_bvh(o, d, t_min, t_max, v0, e1, e2, interpret=False,
         return pl.BlockSpec((k, ray_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
+    tri_spec = pl.BlockSpec(
+        memory_space=pltpu.ANY if stream else pltpu.VMEM
+    )
+    scratch = [pltpu.VMEM((g_pad, ray_tile), dtype)]
+    if stream:
+        scratch += [
+            pltpu.VMEM((_TAB_ROWS, group * prim_tile), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+
     occ = pl.pallas_call(
         functools.partial(_bvh_anyhit_kernel, g_rows=g_pad, group=group,
-                          prim_tile=prim_tile, sub_w=sub_w),
+                          prim_tile=prim_tile, sub_w=sub_w, stream=stream),
         grid=grid,
         in_specs=[
             spec(3), spec(3), spec(1), spec(1),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            tri_spec,
         ],
         out_specs=spec(1),
         out_shape=_out_struct((1, n_pad), jnp.int32, o, d),
-        scratch_shapes=[pltpu.VMEM((g_pad, ray_tile), dtype)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(o_t, d_t, tmin_r, tmax_r, gaabb, laabb, tri)
     return occ[0, :n] != 0

@@ -24,9 +24,12 @@ ray tile without leaving VMEM:
      mirror.rs:200-305) — plus the RR schedule (rendering.rs:91-102) and the
      state updates for surviving paths.
 
-Scope (static gates): scenes with ≤64 triangles, ≤512 spheres, ≤64 lights and
-no Oren–Nayar/PBR materials — the headline bench + Cornell class. Larger or
-ON/PBR scenes keep the composed per-op path in pool.py (identical estimator).
+Scope (static gates): scenes with ≤64 triangles, ≤512 spheres and ≤64 lights
+— the headline bench + Cornell class. Oren–Nayar and PBR materials ride
+statically-gated extra lanes (``has_on``/``has_pbr``, set from the scene's
+material-presence flags so scenes without them pay nothing — the ON lane's
+atan2 pair measured ~30% of the shading glue when run for nothing). Larger
+scenes keep the composed per-op path in pool.py (identical estimator).
 
 Layout: rays on the 128-wide lane axis as everywhere else; 3-vectors are
 (x, y, z) tuples of (1, R) rows so every op is a rank-2 VPU broadcast.
@@ -421,6 +424,111 @@ def _sample_mirror(color, rough, metal, ior, i, normal, eta, r1, r2, u_coin):
     return o, bsdf, pdf, cos
 
 
+def _eval_oren_nayar3(color, rough, i, o, normal):
+    """OrenNayar::bsdf_pdf (material.rs:222-264), column form — op-for-op
+    ops/bsdf.py._eval_oren_nayar so fused and composed paths agree exactly."""
+    sigma2 = rough * rough
+    a = 1.0 - 0.5 * sigma2 / (sigma2 + 0.33)
+    b = 0.45 * sigma2 / (sigma2 + 0.09)
+
+    cos_i = jnp.maximum(_dot3(i, normal), 0.0)
+    cos_o = jnp.maximum(_dot3(o, normal), 0.0)
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 0.0))
+    sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_o * cos_o, 0.0))
+
+    tangent, bitangent = _tangent_frame(normal)
+    phi_i = jnp.arctan2(_dot3(i, bitangent), _dot3(i, tangent))
+    phi_o = jnp.arctan2(_dot3(o, bitangent), _dot3(o, tangent))
+    cos_phi_diff = jnp.maximum(jnp.cos(phi_i - phi_o), 0.0)
+
+    # α = max angle, β = min angle via the cos comparison (material.rs:240-256)
+    i_steeper = cos_i > cos_o  # θi < θo
+    tan_beta = jnp.where(
+        i_steeper,
+        jnp.where(cos_i > 1e-6, sin_i / jnp.maximum(cos_i, 1e-6), 0.0),
+        jnp.where(cos_o > 1e-6, sin_o / jnp.maximum(cos_o, 1e-6), 0.0),
+    )
+    sin_alpha = jnp.where(i_steeper, sin_o, sin_i)
+
+    term = (a + b * cos_phi_diff * sin_alpha * tan_beta) / _PI
+    brdf = _scale3(color, term)
+    pdf = cos_o / _PI
+    return brdf, pdf
+
+
+def _eval_pbr3(color, rough, metal, ior, i, o, normal):
+    """PBRMaterial::bsdf_pdf (material.rs:311-355), column form — mirrors
+    ops/bsdf.py._eval_pbr: GGX specular reflection plus kd-scaled Oren–Nayar
+    diffuse, pdf a Fresnel-weighted blend of the two techniques."""
+    alpha = rough * rough
+    alpha2 = alpha * alpha
+
+    h = _normalize3(_add3(i, o))
+    n_h = _dot3(normal, h)
+    d_ggx = _ggx_d(alpha2, n_h)
+    cos_i = jnp.maximum(_dot3(i, normal), 0.0)
+    cos_o = jnp.maximum(_dot3(o, normal), 0.0)
+    g2 = _smith_g2(alpha2, cos_i, cos_o)
+    cos_f = jnp.maximum(_dot3(i, h), 0.0)
+    f = _fresnel3(color, metal, ior, cos_f)
+    spec_brdf = _scale3(f, d_ggx * g2 / (4.0 * cos_i * cos_o))
+    spec_pdf = d_ggx * jnp.abs(n_h) / (4.0 * jnp.abs(_dot3(i, h)))
+
+    # Diffuse: Oren–Nayar × kd (material.rs:332-341); metals don't diffuse.
+    diff_raw, diff_pdf = _eval_oren_nayar3(color, rough, i, o, normal)
+    not_metal = metal < 1.0
+    one_m = 1.0 - metal
+    diff_brdf = tuple(
+        jnp.where(not_metal, diff_raw[c] * (1.0 - f[c]) * one_m, 0.0)
+        for c in range(3)
+    )
+
+    brdf = _add3(spec_brdf, diff_brdf)
+    f_avg = (f[0] + f[1] + f[2]) / 3.0
+    sw = f_avg
+    dw = (1.0 - f_avg) * one_m
+    tw = sw + dw
+    pdf = jnp.where(
+        tw > 1e-6,
+        (sw * spec_pdf + dw * diff_pdf) / jnp.maximum(tw, 1e-6),
+        spec_pdf,
+    )
+    bad = (cos_o <= 0.0) | ~_finite3(brdf) | ~_finite(pdf)
+    brdf = _where3(bad, (0.0 * pdf,) * 3, brdf)
+    pdf = jnp.where(bad, 1.0, pdf)
+    return brdf, pdf
+
+
+def _sample_pbr3(color, rough, metal, ior, i, normal, r1, r2, u_coin, d_diff):
+    """PBRMaterial sampling (material.rs:358-388), column form — mirrors
+    ops/bsdf.py._sample_pbr: approximate-Fresnel coin picks GGX-VNDF
+    specular vs the shared cosine-hemisphere diffuse sample, then the
+    blended bsdf_pdf evaluates at the sampled direction."""
+    cos_i = jnp.maximum(_dot3(i, normal), 0.0)
+    mean_c = (color[0] + color[1] + color[2]) / 3.0
+    f0s = jnp.where(metal > 0.5, mean_c, 0.04)
+    f_approx = f0s + (1.0 - f0s) * _pow5(1.0 - cos_i)
+    sw = f_approx
+    dw = (1.0 - f_approx) * (1.0 - metal)
+    tw = sw + dw
+    p_spec = jnp.where(tw > 1e-6, sw / jnp.maximum(tw, 1e-6), 1.0)
+    use_spec = u_coin < p_spec
+
+    h = _sample_vndf(i, normal, rough, r1, r2)
+    o_spec = _normalize3(_sub3(_scale3(h, 2.0 * _dot3(i, h)), i))
+
+    o = _where3(use_spec, o_spec, d_diff)
+    bsdf, pdf = _eval_pbr3(color, rough, metal, ior, i, o, normal)
+    cos = jnp.maximum(_dot3(o, normal), 0.0)
+
+    bad = ~_finite3(bsdf) | ~_finite(pdf) | (pdf <= 0.0)
+    o = _where3(bad, normal, o)
+    bsdf = _where3(bad, (0.0 * pdf,) * 3, bsdf)
+    pdf = jnp.where(bad, 1.0, pdf)
+    cos = jnp.where(bad, 0.0, cos)
+    return o, bsdf, pdf, cos
+
+
 # ---------------------------------------------------------------------------
 # The megakernel
 # ---------------------------------------------------------------------------
@@ -429,6 +537,7 @@ def _fused_bounce_kernel(
     busy_ref, bounce_ref, o_ref, d_ref, eta_ref, pdfp_ref, pfx_ref, u_ref,
     sph_ref, tri_ref, lgt_ref, *refs,
     num_tris, num_lights, max_bounces, use_mis, use_nee, has_mirror,
+    has_on, has_pbr,
     eps, rr_min_depth, rr_max_depth, fuse_shadow, sections, use_quad,
     fuse_raygen,
 ):
@@ -817,6 +926,18 @@ def _fused_bounce_kernel(
             pdf_l = jnp.where(is_mir, mir_p, lam_p)
         else:
             bsdf_l, pdf_l = lam_b, lam_p
+        if has_on and "neeeval" in sections:
+            on_b, on_p = _eval_oren_nayar3(m_col, m_rough, i3, ldir, normal)
+            is_on = kind_i == mat.KIND_OREN_NAYAR
+            bsdf_l = _where3(is_on, on_b, bsdf_l)
+            pdf_l = jnp.where(is_on, on_p, pdf_l)
+        if has_pbr and "neeeval" in sections:
+            pbr_b, pbr_p = _eval_pbr3(
+                m_col, m_rough, m_metal, m_ior, i3, ldir, normal
+            )
+            is_pbr = kind_i == mat.KIND_PBR
+            bsdf_l = _where3(is_pbr, pbr_b, bsdf_l)
+            pdf_l = jnp.where(is_pbr, pbr_p, pdf_l)
         # Non-diffuse/non-mirror kinds (emissive) eval to zero / pdf 1.
         is_em_k = kind_i == mat.KIND_EMISSIVE
         bsdf_l = _where3(is_em_k, (0.0 * ox,) * 3, bsdf_l)
@@ -851,6 +972,8 @@ def _fused_bounce_kernel(
     cos_diff = jnp.maximum(_dot3(d_diff, normal), 0.0)
     if "sample" not in sections:  # profiling knob only
         has_mirror = False
+        has_on = False
+        has_pbr = False
     if has_mirror:
         mo, mb, mp, mc = _sample_mirror(
             m_col, m_rough, m_metal, m_ior, i3, normal, eta_s, u3, u4, u5
@@ -862,6 +985,22 @@ def _fused_bounce_kernel(
         cos_s = jnp.where(is_mir, mc, cos_diff)
     else:
         o_dir, bsdf_s, pdf_s, cos_s = d_diff, lam_b, lam_p, cos_diff
+    if has_on:
+        # Diffuse sample direction is shared (material.rs:93-122, 267-295):
+        # only the evaluated brdf/pdf differ from the Lambert lane.
+        on_b, on_p = _eval_oren_nayar3(m_col, m_rough, i3, d_diff, normal)
+        is_on = kind_i == mat.KIND_OREN_NAYAR
+        bsdf_s = _where3(is_on, on_b, bsdf_s)
+        pdf_s = jnp.where(is_on, on_p, pdf_s)
+    if has_pbr:
+        pbr_o, pbr_b, pbr_p, pbr_c = _sample_pbr3(
+            m_col, m_rough, m_metal, m_ior, i3, normal, u3, u4, u5, d_diff
+        )
+        is_pbr = kind_i == mat.KIND_PBR
+        o_dir = _where3(is_pbr, pbr_o, o_dir)
+        bsdf_s = _where3(is_pbr, pbr_b, bsdf_s)
+        pdf_s = jnp.where(is_pbr, pbr_p, pdf_s)
+        cos_s = jnp.where(is_pbr, pbr_c, cos_s)
     is_em_k = kind_i == mat.KIND_EMISSIVE
     o_dir = _where3(is_em_k, normal, o_dir)
     bsdf_s = _where3(is_em_k, (0.0 * ox,) * 3, bsdf_s)
@@ -1073,14 +1212,14 @@ def _sphere_quad_tables(centers, radius, dtype):
 
 
 def supports_scene(scene: Scene, integrator: str) -> bool:
-    """Static gate: can the megakernel serve this scene/integrator?"""
+    """Static gate: can the megakernel serve this scene/integrator?
+    (ON/PBR scenes ride statically-gated extra lanes since round 4 —
+    `has_on`/`has_pbr` on fused_bounce — so only the size caps remain.)"""
     return (
         integrator in ("mis", "nee", "brdf_only")
         and scene.tri_v0.shape[0] <= MAX_TRIS
         and scene.sph_center.shape[0] <= MAX_SPHERES
         and scene.light_geom.shape[0] <= MAX_LIGHTS
-        and not scene.has_pbr
-        and not scene.has_oren_nayar
     )
 
 
@@ -1163,6 +1302,7 @@ class BounceResult(NamedTuple):
     static_argnames=(
         "num_tris", "num_lights", "integrator", "max_bounces", "eps",
         "interpret", "ray_tile", "fuse_shadow", "transposed", "sections",
+        "has_on", "has_pbr",
     ),
 )
 def fused_bounce(
@@ -1179,6 +1319,8 @@ def fused_bounce(
     fuse_shadow: bool = False,
     transposed: bool = False,
     raygen=None,
+    has_on: bool = False,
+    has_pbr: bool = False,
     sections: frozenset = frozenset({"emis", "nee", "neeeval", "shadow", "sample"}),
 ) -> BounceResult:
     """One full path-vertex step for a wave (see module docstring).
@@ -1292,6 +1434,8 @@ def fused_bounce(
             use_mis=use_mis,
             use_nee=use_nee,
             has_mirror=has_mirror,
+            has_on=has_on,
+            has_pbr=has_pbr,
             eps=eps,
             rr_min_depth=4,
             rr_max_depth=50,

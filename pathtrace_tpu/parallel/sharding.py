@@ -173,6 +173,7 @@ def render_pool_sharded(
     num_slots: int = 32768,
     seed: int = 0,
     sample_offset: int = 0,
+    method: str | None = None,
 ):
     """Multi-chip render on the *production* persistent-pool path.
 
@@ -221,6 +222,7 @@ def render_pool_sharded(
             max_bounces=max_bounces,
             num_slots=num_slots,
             seed=seed,
+            method=method,
         )
         # Merge sample-parallel partial sums over ICI; ray/iter counters are
         # returned per-device (exact 64-bit aggregation happens on host).

@@ -154,6 +154,7 @@ def _pool_loop(
     max_bounces: int,
     num_slots: int,
     seed: int,
+    method: str | None = None,
 ):
     """Pool render of the contiguous global pixel range
     ``[pixel_lo, pixel_lo + local_pixels)`` and the sample range
@@ -173,7 +174,9 @@ def _pool_loop(
     # sweep + BSDF sample + RR) fuses into one Pallas kernel for small scenes
     # on real accelerators (ops/pallas_shade.py). The composed per-op path
     # below remains the reference implementation (CPU, big scenes, ON/PBR).
-    method = default_method()
+    # Per-call traversal override beats the process default (the global
+    # set_default_method pattern still works but costs a jax.clear_caches).
+    method = method or default_method()
     fused = (
         pallas_shade.supports_scene(scene, integrator)
         and method in ("pallas", "pallas_interpret")
@@ -450,6 +453,8 @@ def _pool_loop(
                 integrator=integrator,
                 max_bounces=max_bounces,
                 eps=EPS,
+                has_on=scene.has_oren_nayar,
+                has_pbr=scene.has_pbr,
                 transposed=True,
                 interpret=method == "pallas_interpret",
                 raygen=(
@@ -485,7 +490,7 @@ def _pool_loop(
             )
         else:
             # ---- One bounce for every busy slot: composed per-op path ----
-            hit = intersect(scene, ray_o, ray_d, EPS, jnp.inf)
+            hit = intersect(scene, ray_o, ray_d, EPS, jnp.inf, method=method)
             mp = bsdf_ops.mat_of(scene, hit.mat)  # one resolve per bounce
             emis = hit.valid & bsdf_ops.is_emissive_params(mp)
             emission = bsdf_ops.emitted_params(mp)
@@ -526,7 +531,9 @@ def _pool_loop(
                     u[:, rng_ops.SLOT_LIGHT_U],
                     u[:, rng_ops.SLOT_LIGHT_V],
                 )
-                blocked = occluded(scene, hit.point, ls.dir, EPS, ls.dist - EPS)
+                blocked = occluded(
+                    scene, hit.point, ls.dir, EPS, ls.dist - EPS, method=method
+                )
                 cos_l = jnp.abs(vec.dot(hit.normal, ls.dir))
                 bsdf_l, pdf_bsdf_l = bsdf_ops.eval_bsdf(
                     scene, hit.mat, i_dir, ray_eta, ls.dir, hit.normal, params=mp
@@ -767,7 +774,7 @@ def _pool_loop(
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "integrator", "max_bounces", "num_slots", "seed",
-        "sample_offset", "dtype",
+        "sample_offset", "dtype", "method",
     ),
 )
 def render_pool(
@@ -783,12 +790,17 @@ def render_pool(
     seed: int = 0,
     sample_offset: int = 0,
     dtype=None,
+    method: str | None = None,
 ):
     """Render the full frame with a saturated path pool.
 
     ``dtype`` selects the estimator's compute precision (None keeps the
     scene/camera dtypes); ``jnp.float64`` matches the reference's native
     precision (math.rs:4-8) and needs the process-global ``jax_enable_x64``.
+
+    ``method`` overrides the intersection traversal for this call only
+    (None = the platform default / :func:`set_default_method` override) —
+    the per-call form avoids the global's trace-cache invalidation.
 
     Returns ``(image_sum (H*W, 3), counters, iterations)``; divide by spp
     for mean radiance. ``counters`` is a ``(4,)`` uint32
@@ -833,6 +845,7 @@ def render_pool(
         max_bounces=max_bounces,
         num_slots=num_slots,
         seed=seed,
+        method=method,
     )
 
 

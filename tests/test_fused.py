@@ -179,17 +179,58 @@ def test_fused_output_vma_interface():
 
 
 def test_fused_gate_excludes_unsupported():
-    # Oren–Nayar / PBR / big scenes must fall back to the composed path.
+    # Big scenes must fall back to the composed path; ON/PBR scenes ride the
+    # megakernel's statically-gated lanes since round 4.
     from pathtrace_tpu.models.materials import OrenNayar
 
     b = SceneBuilder()
     b.add_sphere((0.0, 0.0, -3.0), 1.0, OrenNayar((0.5, 0.5, 0.5), 0.3))
     b.add_sphere((0.0, 3.0, -3.0), 0.5, Emissive((5.0, 5.0, 5.0)))
     sc = b.build()
-    assert not pallas_shade.supports_scene(sc, "mis")
+    assert pallas_shade.supports_scene(sc, "mis")
     assert pallas_shade.supports_scene(scenes.cornell_box(), "mis")
     assert pallas_shade.supports_scene(scenes.many_spheres(), "mis")
     assert not pallas_shade.supports_scene(scenes.mesh_scene(2000), "mis")
+
+
+def _on_pbr_scene():
+    """Oren–Nayar + PBR + Lambert + a mirror, all lobes ≥ 0.3 roughness so
+    fused/composed agreement is rounding-level (module docstring)."""
+    from pathtrace_tpu.models.materials import OrenNayar, PBRMaterial
+
+    b = SceneBuilder()
+    b.add_quad((-20, 0, -20), (20, 0, -20), (20, 0, 20), (-20, 0, 20),
+               OrenNayar((0.6, 0.55, 0.5), 0.5))
+    b.add_sphere((0.0, 1.0, -3.0), 1.0, PBRMaterial((0.7, 0.3, 0.3),
+                                                    roughness=0.4,
+                                                    metallic=0.0))
+    b.add_sphere((-2.2, 1.0, -3.0), 1.0, PBRMaterial((0.9, 0.8, 0.4),
+                                                     roughness=0.35,
+                                                     metallic=1.0))
+    b.add_sphere((2.2, 1.0, -3.0), 1.0, Mirror(roughness=0.4, metallic=1.0))
+    b.add_sphere((4.0, 1.0, -5.0), 1.0, Lambertian((0.3, 0.5, 0.7)))
+    b.add_sphere((0.0, 6.0, -3.0), 1.5, Emissive((12.0, 12.0, 12.0)))
+    b.add_triangle((-3.0, 5.0, -1.0), (-1.0, 5.0, -1.0), (-2.0, 5.0, -2.0),
+                   Emissive((8.0, 8.0, 8.0)))
+    return b.build()
+
+
+@pytest.mark.parametrize("integrator", ["mis", "brdf_only"])
+def test_fused_matches_composed_on_pbr(integrator):
+    """The round-4 ON/PBR megakernel lanes must reproduce the composed
+    path's estimator: identical discrete path structure (exact traced-ray
+    counter), rounding-level radiance (all lobes ≥ 0.3 roughness)."""
+    sc = _on_pbr_scene()
+    assert sc.has_oren_nayar and sc.has_pbr
+    assert pallas_shade.supports_scene(sc, integrator)
+    cam = Camera.look_at((0.0, 2.0, 4.0), (0.0, 1.0, -3.0), (0.0, 1.0, 0.0),
+                         W, H, 55.0)
+    (ia, ra, _), (ib, rb, _) = _render_pair(
+        sc, cam, integrator, max_bounces=6, num_slots=64, seed=3
+    )
+    assert ray_count(ra) == ray_count(rb)  # identical discrete path structure
+    np.testing.assert_allclose(np.asarray(ia), np.asarray(ib),
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_sphere_quad_table_matches_direct():

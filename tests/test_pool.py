@@ -136,3 +136,25 @@ def test_pool_pair_stealing_equivalence():
     assert ia <= ib                      # stealing never adds iterations
     assert ib > ia                       # and actually harvests this tail
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_pool_per_call_method_knob():
+    """render_pool(method=...) must equal the global set_default_method
+    route bitwise — same traced program, no global cache invalidation."""
+    import numpy as np
+
+    from pathtrace_tpu.ops.intersect import set_default_method
+
+    sc = scenes.mesh_scene(n_tris=600)
+    W = H = 8
+    cam = scenes.mesh_scene_camera(W, H)
+    kw = dict(width=W, height=H, spp=1, integrator="mis", max_bounces=2,
+              num_slots=16, seed=2)
+    a, ra, _ = render_pool(sc, cam, method="bvh_interpret", **kw)
+    try:
+        set_default_method("bvh_interpret")
+        b, rb, _ = render_pool(sc, cam, **kw)
+    finally:
+        set_default_method(None)
+    assert ray_count(ra) == ray_count(rb)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
