@@ -31,9 +31,10 @@ nodes, once each, in aggregated front-to-back order:
 Each (subtile, leaf) pair is visited at most once; group-level culling means
 leaf entry math only runs for entered supergroups (shadow rays and local
 bounces skip most of the scene). The triangle table is the lane-transposed
-(16, T) VMEM-resident layout proven in resident_intersect.py (4.5 MB at 70k
-tris); scenes whose table exceeds the VMEM budget fall back to the streaming
-per-tile kernels at the dispatch layer (ops/intersect.py).
+(16, T) layout proven in resident_intersect.py, VMEM-resident up to
+VMEM_TABLE_BUDGET (4.5 MB at 70k tris); above it the SAME traversal streams
+one supergroup per DMA from HBM (bitwise-identical results, unbounded scene
+size — see the ``stream`` parameter).
 
 Math and epsilons match ops.pallas_intersect exactly (Möller–Trumbore,
 shape.rs:161-198: 1e-8 parallel reject, inclusive barycentric bounds, closed
@@ -50,7 +51,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_intersect import _cdiv, _out_struct, _pad_rows, _select_winner
+from .pallas_intersect import (
+    _cdiv,
+    _lift_vma,
+    _out_struct,
+    _pad_rows,
+    _select_winner,
+)
 from .resident_intersect import (
     _TAB_ROWS,
     _derived_aabbs,
@@ -391,6 +398,9 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
         prim_tile, group, ray_tile, anyhit=False,
     )
     stream = _resolve_stream(stream, tri.shape[1], dtype)
+    tmin_r, tup_r, gaabb, laabb, tri = _lift_vma(
+        (o_t, d_t), tmin_r, tup_r, gaabb, laabb, tri
+    )
     # Closest-hit padding lanes: t_max = +inf would keep them live forever;
     # give them an inverted [inf, -inf] range instead (tup fill above).
 
@@ -452,6 +462,9 @@ def triangle_anyhit_bvh(o, d, t_min, t_max, v0, e1, e2, interpret=False,
         prim_tile, group, ray_tile, anyhit=True,
     )
     stream = _resolve_stream(stream, tri.shape[1], dtype)
+    tmin_r, tmax_r, gaabb, laabb, tri = _lift_vma(
+        (o_t, d_t), tmin_r, tmax_r, gaabb, laabb, tri
+    )
 
     grid = (n_pad // ray_tile,)
 

@@ -275,6 +275,19 @@ def resolve_auto(method: str, num_tris: int, coherent: bool | None) -> str:
 RAY_SORT_MIN_TRIS = 4096
 
 
+def _lift_tree(want, *trees):
+    """Lift every floating/int array leaf of the given pytrees to the
+    varying-mesh-axes set ``want`` (jax.lax.pcast to='varying'): shard_map's
+    varying-axes check requires kernel operands to agree, and scene tables
+    are replicated while rays vary. Type-level only; zero cost."""
+    def lift(a):
+        missing = tuple(want - jax.typeof(a).vma)
+        return jax.lax.pcast(a, missing, to="varying") if missing else a
+
+    out = tuple(jax.tree_util.tree_map(lift, t) for t in trees)
+    return out if len(out) > 1 else out[0]
+
+
 def _ray_sort_key(scene: Scene, o, d, t_min, t_max):
     """Spatial+directional bin key: 3-bit direction octant above a block code
     of the origin within the scene bounds. Sorting a wave by this key makes
@@ -417,6 +430,13 @@ def intersect(
         from ..models.scene import SPH_CLUSTER_SIZE
 
         interp = method == "pallas_interpret"
+        # shard_map: rays vary over the device mesh while the scene is
+        # replicated; kernels compare the two everywhere, so lift the scene
+        # (and the scalar-broadcast range rows) to the rays' varying axes.
+        # Type-level only — no data moves; no-op outside shard_map.
+        want = jax.typeof(o).vma | jax.typeof(d).vma
+        if want:
+            scene, t_min_b, t_max_b = _lift_tree(want, scene, t_min_b, t_max_b)
         if sort_rays is None:
             sort_rays = (not binned) and t_rows_real >= RAY_SORT_MIN_TRIS
         idx = None
@@ -623,6 +643,9 @@ def occluded(
         n = o.shape[0]
         t_min_b = jnp.broadcast_to(jnp.asarray(t_min, o.dtype), (n,))
         t_max_b = jnp.broadcast_to(jnp.asarray(t_max, o.dtype), (n,))
+        want = jax.typeof(o).vma | jax.typeof(d).vma
+        if want:  # shard_map: see the matching lift in intersect()
+            scene, t_min_b, t_max_b = _lift_tree(want, scene, t_min_b, t_max_b)
         t_rows_real = scene.tri_v0.shape[0]
         s_rows = scene.sph_center.shape[0]
         from ..models.scene import SPH_CLUSTER_SIZE

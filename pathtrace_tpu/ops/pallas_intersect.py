@@ -68,6 +68,23 @@ def _out_struct(shape, dtype, *ray_arrays):
     return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
 
 
+def _lift_vma(like_arrays, *xs):
+    """Lift replicated operands to the union varying-mesh-axes of the ray
+    arrays. Under ``shard_map`` the rays vary over the device mesh while
+    scene tables and scalar-broadcast range rows are replicated; kernels
+    that compare the two (every traversal does) fail shard_map's
+    varying-axes check unless the replicated side is explicitly pcast.
+    No-op (and zero-cost) outside shard_map, where every vma is empty."""
+    want = frozenset().union(*(jax.typeof(a).vma for a in like_arrays))
+    out = []
+    for x in xs:
+        missing = tuple(want - jax.typeof(x).vma)
+        out.append(
+            jax.lax.pcast(x, missing, to="varying") if missing else x
+        )
+    return out
+
+
 def _pad_rows(a, rows, fill=0.0):
     pad = rows - a.shape[0]
     if pad == 0:

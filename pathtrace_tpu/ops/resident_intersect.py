@@ -55,7 +55,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_intersect import _cdiv, _out_struct, _pad_rows, _select_winner
+from .pallas_intersect import (
+    _cdiv,
+    _lift_vma,
+    _out_struct,
+    _pad_rows,
+    _select_winner,
+)
 
 _INF = float("inf")
 
@@ -337,6 +343,7 @@ def triangle_closest_resident(o, d, t_min, t_max, v0, e1, e2, tri_normal,
     d_t = _pad_rows(d, n_pad, fill=1.0).T
     tmin_r = _pad_rows(t_min_b[:, None], n_pad, fill=_INF).T
     tup_r = _pad_rows(t_max_b[:, None], n_pad).T
+    tmin_r, tup_r, aabb, tri = _lift_vma((o_t, d_t), tmin_r, tup_r, aabb, tri)
 
     grid = (n_pad // ray_tile,)
 
@@ -388,6 +395,7 @@ def triangle_anyhit_resident(o, d, t_min, t_max, v0, e1, e2, interpret=False,
     d_t = _pad_rows(d, n_pad, fill=1.0).T
     tmin_r = _pad_rows(t_min_b[:, None], n_pad, fill=_INF).T
     tmax_r = _pad_rows(t_max_b[:, None], n_pad, fill=-_INF).T
+    tmin_r, tmax_r, aabb, tri = _lift_vma((o_t, d_t), tmin_r, tmax_r, aabb, tri)
 
     grid = (n_pad // ray_tile,)
 

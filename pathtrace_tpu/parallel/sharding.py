@@ -157,7 +157,7 @@ def render_sharded(
     jax.jit,
     static_argnames=(
         "mesh", "width", "height", "spp", "integrator", "max_bounces",
-        "num_slots", "seed", "sample_offset",
+        "num_slots", "seed", "sample_offset", "method",
     ),
 )
 def render_pool_sharded(
@@ -316,7 +316,7 @@ def _frames_sharded_sum(
     jax.jit,
     static_argnames=(
         "mesh", "width", "height", "spp", "integrator", "max_bounces",
-        "num_slots", "seed",
+        "num_slots", "seed", "method",
     ),
 )
 def _frames_pool_sum(
@@ -331,6 +331,7 @@ def _frames_pool_sum(
     max_bounces: int,
     num_slots: int,
     seed: int,
+    method: str | None = None,
 ):
     """Radiance sums for a stacked camera batch on the *production pool*
     engine: frames shard over ``dp`` (each device scans its local frames,
@@ -367,6 +368,7 @@ def _frames_pool_sum(
                 max_bounces=max_bounces,
                 num_slots=num_slots,
                 seed=seed,
+                method=method,
             )
             return carry, (jax.lax.psum(img, "sp"), rays[None, :], iters[None])
 
@@ -387,6 +389,7 @@ def frames_pool_sharded(
     config,
     mesh: Optional[Mesh] = None,
     num_slots: int = 32768,
+    method: str | None = None,
 ):
     """Batched animation on the production pool engine (BASELINE config 5).
 
@@ -417,6 +420,7 @@ def frames_pool_sharded(
         max_bounces=config.max_bounces,
         num_slots=slots,
         seed=config.seed,
+        method=method,
     )
     frames = acc[:n_frames].reshape(n_frames, h, w, 3) / config.spp
     return frames, rays[:n_frames], iters[:n_frames]
