@@ -177,6 +177,56 @@ def _packed_group_key(e_live, g_rows):
     return (eb & ~idmask) | ids, idmask
 
 
+def _stream_dma(tri_ref, gbuf, dma_sem, gid, buf, gsz):
+    """Descriptor for supergroup ``gid``'s (16, gsz) block into buffer ``buf``
+    (reconstructed identically for start and wait, double-buffer pattern)."""
+    return pltpu.make_async_copy(
+        tri_ref.at[:, pl.ds(gid * gsz, gsz)],
+        gbuf.at[buf], dma_sem.at[buf],
+    )
+
+
+def _stream_fetch(tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
+                  pbuf, gsz):
+    """Stream-mode fetch of ``gstar``'s block with next-group prefetch.
+
+    The prefetch candidate is the second-nearest entered group (second
+    min of the packed keys) — the true next visit unless this round's sweep
+    bounds it out, in which case the DMA is wasted but never wrong. Returns
+    ``(cur, new_pf, new_pbuf)``: the buffer holding gstar's block and the
+    carried prefetch state ((group id or -1, buffer)); the caller drains any
+    outstanding prefetch after the round loop exits.
+    """
+    hitp = pf == gstar
+    cur = jnp.where(hitp, pbuf, jnp.where(pf >= 0, pbuf ^ 1, 0))
+    ids = keys & idmask
+    keys2 = jnp.where(ids == gstar, jnp.int32(0x7FFFFFFF), keys)
+    kmin2 = jnp.min(keys2)
+    gnext = kmin2 & idmask
+    have_next = (kmin2 & ~idmask) < _EXHAUSTED
+
+    @pl.when(alive & hitp)
+    def _():
+        _stream_dma(tri_ref, gbuf, dma_sem, gstar, cur, gsz).wait()
+
+    @pl.when(alive & ~hitp)
+    def _():
+        @pl.when(pf >= 0)
+        def _():  # drain the mispredicted prefetch before reusing state
+            _stream_dma(tri_ref, gbuf, dma_sem, pf, pbuf, gsz).wait()
+        cp = _stream_dma(tri_ref, gbuf, dma_sem, gstar, cur, gsz)
+        cp.start()
+        cp.wait()
+
+    @pl.when(alive & have_next)
+    def _():
+        _stream_dma(tri_ref, gbuf, dma_sem, gnext, cur ^ 1, gsz).start()
+
+    new_pf = jnp.where(alive, jnp.where(have_next, gnext, jnp.int32(-1)), pf)
+    new_pbuf = jnp.where(alive & have_next, cur ^ 1, pbuf)
+    return cur, new_pf, new_pbuf
+
+
 def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
                         tri_ref, t_ref, i_ref, n_ref, m_ref, ge, *scratch,
                         g_rows, group, prim_tile, sub_w, stream):
@@ -198,6 +248,7 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
                                   t_min, t_up)
 
         def round_body(carry):
+            rounds, pf, pbuf = carry
             bound = jnp.minimum(t_ref[0:1, sl], t_up)
             e = ge[:, sl]                                       # (G, W)
             e_live = jnp.where(e < bound, e, _INF)
@@ -206,22 +257,20 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
             gstar = kmin & idmask
             alive = (kmin & ~idmask) < _EXHAUSTED
 
+            if stream:
+                # One DMA per supergroup (16 leaves = group*prim_tile
+                # triangles, 16x the old per-cluster DMA amortization) with
+                # double-buffered prefetch of the next-nearest entered group
+                # so the transfer overlaps this group's sweep.
+                cur, pf, pbuf = _stream_fetch(
+                    tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
+                    pbuf, group * prim_tile,
+                )
+
             @pl.when(alive)
             def _():
                 lb = laabb_ref[pl.ds(gstar * group, group), :]  # (group, 8)
                 le = _entries_from(lb, ox, oy, oz, dx, dy, dz, t_min, t_up)
-                if stream:
-                    # One DMA per supergroup (16 leaves = group*prim_tile
-                    # triangles): amortizes the per-DMA constant 16x over
-                    # the streaming per-cluster kernels, and leaf slices
-                    # from the group buffer become static.
-                    cp = pltpu.make_async_copy(
-                        tri_ref.at[:, pl.ds(gstar * group * prim_tile,
-                                            group * prim_tile)],
-                        gbuf, dma_sem,
-                    )
-                    cp.start()
-                    cp.wait()
 
                 for k in range(group):                          # unrolled
                     cur_best = t_ref[0:1, sl]
@@ -232,7 +281,7 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
                     def _():
                         base = (gstar * group + k) * prim_tile
                         if stream:
-                            cols = gbuf[:, k * prim_tile:(k + 1) * prim_tile].T
+                            cols = gbuf[cur][:, k * prim_tile:(k + 1) * prim_tile].T
                         else:
                             cols = tri_ref[:, pl.ds(base, prim_tile)].T
                         mt = _mt_columns(cols, anyhit=False)
@@ -262,9 +311,18 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
                 iota_g = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
                 ge[:, sl] = jnp.where(iota_g == gstar, _INF, e)
 
-            return jnp.where(alive, carry + 1, jnp.int32(-1))
+            return (jnp.where(alive, rounds + 1, jnp.int32(-1)), pf, pbuf)
 
-        jax.lax.while_loop(lambda c: c >= 0, round_body, jnp.int32(0))
+        _, pf_end, pbuf_end = jax.lax.while_loop(
+            lambda c: c[0] >= 0, round_body,
+            (jnp.int32(0), jnp.int32(-1), jnp.int32(0)),
+        )
+        if stream:
+            # Drain the last outstanding prefetch (wasted by termination).
+            @pl.when(pf_end >= 0)
+            def _():
+                _stream_dma(tri_ref, gbuf, dma_sem, pf_end, pbuf_end,
+                            group * prim_tile).wait()
 
 
 def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
@@ -285,6 +343,7 @@ def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
                                   t_min, t_max)
 
         def round_body(carry):
+            rounds, pf, pbuf = carry
             live = (occ_ref[0:1, sl] == 0)
             e = ge[:, sl]
             e_live = jnp.where(live & (e < t_max), e, _INF)
@@ -293,18 +352,16 @@ def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
             gstar = kmin & idmask
             alive = (kmin & ~idmask) < _EXHAUSTED
 
+            if stream:
+                cur, pf, pbuf = _stream_fetch(
+                    tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
+                    pbuf, group * prim_tile,
+                )
+
             @pl.when(alive)
             def _():
                 lb = laabb_ref[pl.ds(gstar * group, group), :]
                 le = _entries_from(lb, ox, oy, oz, dx, dy, dz, t_min, t_max)
-                if stream:
-                    cp = pltpu.make_async_copy(
-                        tri_ref.at[:, pl.ds(gstar * group * prim_tile,
-                                            group * prim_tile)],
-                        gbuf, dma_sem,
-                    )
-                    cp.start()
-                    cp.wait()
 
                 for k in range(group):                          # unrolled
                     gate = (occ_ref[0:1, sl] == 0) & (le[k:k + 1, :] < t_max)
@@ -313,7 +370,7 @@ def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
                     def _():
                         base = (gstar * group + k) * prim_tile
                         if stream:
-                            cols = gbuf[:, k * prim_tile:(k + 1) * prim_tile].T
+                            cols = gbuf[cur][:, k * prim_tile:(k + 1) * prim_tile].T
                         else:
                             cols = tri_ref[:, pl.ds(base, prim_tile)].T
                         mt = _mt_columns(cols, anyhit=True)
@@ -327,9 +384,17 @@ def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
                 iota_g = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
                 ge[:, sl] = jnp.where(iota_g == gstar, _INF, e)
 
-            return jnp.where(alive, carry + 1, jnp.int32(-1))
+            return (jnp.where(alive, rounds + 1, jnp.int32(-1)), pf, pbuf)
 
-        jax.lax.while_loop(lambda c: c >= 0, round_body, jnp.int32(0))
+        _, pf_end, pbuf_end = jax.lax.while_loop(
+            lambda c: c[0] >= 0, round_body,
+            (jnp.int32(0), jnp.int32(-1), jnp.int32(0)),
+        )
+        if stream:
+            @pl.when(pf_end >= 0)
+            def _():
+                _stream_dma(tri_ref, gbuf, dma_sem, pf_end, pbuf_end,
+                            group * prim_tile).wait()
 
 
 def _prep(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat, dtype,
@@ -416,8 +481,8 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
     scratch = [pltpu.VMEM((g_pad, ray_tile), dtype)]
     if stream:
         scratch += [
-            pltpu.VMEM((_TAB_ROWS, group * prim_tile), dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, _TAB_ROWS, group * prim_tile), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
 
     t, i, nrm, m = pl.pallas_call(
@@ -478,8 +543,8 @@ def triangle_anyhit_bvh(o, d, t_min, t_max, v0, e1, e2, interpret=False,
     scratch = [pltpu.VMEM((g_pad, ray_tile), dtype)]
     if stream:
         scratch += [
-            pltpu.VMEM((_TAB_ROWS, group * prim_tile), dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, _TAB_ROWS, group * prim_tile), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
 
     occ = pl.pallas_call(
