@@ -177,17 +177,22 @@ def _packed_group_key(e_live, g_rows):
     return (eb & ~idmask) | ids, idmask
 
 
-def _stream_dma(tri_ref, gbuf, dma_sem, gid, buf, gsz):
-    """Descriptor for supergroup ``gid``'s (16, gsz) block into buffer ``buf``
-    (reconstructed identically for start and wait, double-buffer pattern)."""
-    return pltpu.make_async_copy(
-        tri_ref.at[:, pl.ds(gid * gsz, gsz)],
-        gbuf.at[buf], dma_sem.at[buf],
+def _stream_dma(tri_ref, gbuf, dma_sem, gid, buf, gsz, rows_layout):
+    """Descriptor for supergroup ``gid``'s block into buffer ``buf``
+    (reconstructed identically for start and wait, double-buffer pattern).
+    Block shape: (16, gsz) in the lane-transposed layout, (gsz, 16) in the
+    rows layout (triangles on the sublane axis — leaf slices then need no
+    in-kernel transpose; HBM-only, since VMEM would lane-pad 16 -> 128)."""
+    src = (
+        tri_ref.at[pl.ds(gid * gsz, gsz), :]
+        if rows_layout
+        else tri_ref.at[:, pl.ds(gid * gsz, gsz)]
     )
+    return pltpu.make_async_copy(src, gbuf.at[buf], dma_sem.at[buf])
 
 
 def _stream_fetch(tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
-                  pbuf, gsz):
+                  pbuf, gsz, rows_layout):
     """Stream-mode fetch of ``gstar``'s block with next-group prefetch.
 
     The prefetch candidate is the second-nearest entered group (second
@@ -207,20 +212,23 @@ def _stream_fetch(tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
 
     @pl.when(alive & hitp)
     def _():
-        _stream_dma(tri_ref, gbuf, dma_sem, gstar, cur, gsz).wait()
+        _stream_dma(tri_ref, gbuf, dma_sem, gstar, cur, gsz,
+                    rows_layout).wait()
 
     @pl.when(alive & ~hitp)
     def _():
         @pl.when(pf >= 0)
         def _():  # drain the mispredicted prefetch before reusing state
-            _stream_dma(tri_ref, gbuf, dma_sem, pf, pbuf, gsz).wait()
-        cp = _stream_dma(tri_ref, gbuf, dma_sem, gstar, cur, gsz)
+            _stream_dma(tri_ref, gbuf, dma_sem, pf, pbuf, gsz,
+                        rows_layout).wait()
+        cp = _stream_dma(tri_ref, gbuf, dma_sem, gstar, cur, gsz, rows_layout)
         cp.start()
         cp.wait()
 
     @pl.when(alive & have_next)
     def _():
-        _stream_dma(tri_ref, gbuf, dma_sem, gnext, cur ^ 1, gsz).start()
+        _stream_dma(tri_ref, gbuf, dma_sem, gnext, cur ^ 1, gsz,
+                    rows_layout).start()
 
     new_pf = jnp.where(alive, jnp.where(have_next, gnext, jnp.int32(-1)), pf)
     new_pbuf = jnp.where(alive & have_next, cur ^ 1, pbuf)
@@ -229,7 +237,7 @@ def _stream_fetch(tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
 
 def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
                         tri_ref, t_ref, i_ref, n_ref, m_ref, ge, *scratch,
-                        g_rows, group, prim_tile, sub_w, stream):
+                        g_rows, group, prim_tile, sub_w, stream, rows_layout):
     if stream:
         gbuf, dma_sem = scratch
     t_ref[:, :] = jnp.full(t_ref.shape, _INF)
@@ -264,7 +272,7 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
                 # so the transfer overlaps this group's sweep.
                 cur, pf, pbuf = _stream_fetch(
                     tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
-                    pbuf, group * prim_tile,
+                    pbuf, group * prim_tile, rows_layout,
                 )
 
             @pl.when(alive)
@@ -280,7 +288,9 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
                     @pl.when(jnp.any(gate))
                     def _():
                         base = (gstar * group + k) * prim_tile
-                        if stream:
+                        if stream and rows_layout:
+                            cols = gbuf[cur][k * prim_tile:(k + 1) * prim_tile, :]
+                        elif stream:
                             cols = gbuf[cur][:, k * prim_tile:(k + 1) * prim_tile].T
                         else:
                             cols = tri_ref[:, pl.ds(base, prim_tile)].T
@@ -322,12 +332,12 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
             @pl.when(pf_end >= 0)
             def _():
                 _stream_dma(tri_ref, gbuf, dma_sem, pf_end, pbuf_end,
-                            group * prim_tile).wait()
+                            group * prim_tile, rows_layout).wait()
 
 
 def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
                        tri_ref, occ_ref, ge, *scratch,
-                       g_rows, group, prim_tile, sub_w, stream):
+                       g_rows, group, prim_tile, sub_w, stream, rows_layout):
     if stream:
         gbuf, dma_sem = scratch
     occ_ref[:, :] = jnp.zeros(occ_ref.shape, jnp.int32)
@@ -355,7 +365,7 @@ def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
             if stream:
                 cur, pf, pbuf = _stream_fetch(
                     tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
-                    pbuf, group * prim_tile,
+                    pbuf, group * prim_tile, rows_layout,
                 )
 
             @pl.when(alive)
@@ -369,7 +379,9 @@ def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
                     @pl.when(jnp.any(gate))
                     def _():
                         base = (gstar * group + k) * prim_tile
-                        if stream:
+                        if stream and rows_layout:
+                            cols = gbuf[cur][k * prim_tile:(k + 1) * prim_tile, :]
+                        elif stream:
                             cols = gbuf[cur][:, k * prim_tile:(k + 1) * prim_tile].T
                         else:
                             cols = tri_ref[:, pl.ds(base, prim_tile)].T
@@ -394,11 +406,11 @@ def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
             @pl.when(pf_end >= 0)
             def _():
                 _stream_dma(tri_ref, gbuf, dma_sem, pf_end, pbuf_end,
-                            group * prim_tile).wait()
+                            group * prim_tile, rows_layout).wait()
 
 
 def _prep(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat, dtype,
-          prim_tile, group, ray_tile, anyhit):
+          prim_tile, group, ray_tile, anyhit, layout="cols"):
     n = o.shape[0]
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, dtype), (n,))
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, dtype), (n,))
@@ -409,7 +421,8 @@ def _prep(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat, dtype,
     # rejected by |a| < 1e-8; padding groups carry inverted boxes and are
     # never visited at all).
     t_rows = n_groups * group * prim_tile
-    tri = _pack_table(v0, e1, e2, tri_normal, tri_mat, t_rows, dtype, anyhit)
+    packer = _pack_table_rows if layout == "rows" else _pack_table
+    tri = packer(v0, e1, e2, tri_normal, tri_mat, t_rows, dtype, anyhit)
     laabb, _ = _derived_aabbs(v0, e1, e2, t_rows, prim_tile, dtype)
     laabb, gaabb, n_groups, g_pad = _group_aabbs(
         laabb, t_rows // prim_tile, group, dtype
@@ -430,6 +443,18 @@ def _prep(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat, dtype,
 VMEM_TABLE_BUDGET = int(os.environ.get("PT_BVH_VMEM_BUDGET", str(6 * 2**20)))
 
 
+def _pack_table_rows(v0, e1, e2, tri_normal, tri_mat, rows, dtype, anyhit):
+    """(rows, 16) triangle table, triangles on the SUBLANE axis: the rows
+    layout for HBM streaming — leaf slices need no in-kernel transpose.
+    Never held VMEM-resident whole (lanes would pad 16 -> 128, 8x waste)."""
+    if anyhit:
+        cols = [v0, e1, e2]
+    else:
+        cols = [v0, e1, e2, tri_normal, tri_mat.astype(dtype)[:, None]]
+    tab = _pad_rows(jnp.concatenate(cols, axis=1), rows)    # (rows, 9|13)
+    return jnp.pad(tab, [(0, 0), (0, _TAB_ROWS - tab.shape[1])])
+
+
 def _resolve_stream(stream, t_rows, dtype):
     if stream is not None:
         return stream
@@ -439,12 +464,14 @@ def _resolve_stream(stream, t_rows, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "interpret", "prim_tile", "group", "sub_w", "ray_tile", "stream"
+        "interpret", "prim_tile", "group", "sub_w", "ray_tile", "stream",
+        "layout",
     ),
 )
 def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
                          interpret=False, prim_tile=PRIM_TILE, group=GROUP,
-                         sub_w=SUB_W, ray_tile=RAY_TILE, stream=None):
+                         sub_w=SUB_W, ray_tile=RAY_TILE, stream=None,
+                         layout="cols"):
     """Closest triangle hit via the two-level union-sweep traversal.
 
     Same return contract as pallas_intersect.triangle_closest:
@@ -460,9 +487,14 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
     dtype = o.dtype
     tri, laabb, gaabb, g_pad, o_t, d_t, tmin_r, tup_r, n_pad = _prep(
         o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat, dtype,
-        prim_tile, group, ray_tile, anyhit=False,
+        prim_tile, group, ray_tile, anyhit=False, layout=layout,
     )
-    stream = _resolve_stream(stream, tri.shape[1], dtype)
+    if layout == "rows":
+        if stream is False:
+            raise ValueError("layout='rows' is HBM-streamed only")
+        stream = True
+    else:
+        stream = _resolve_stream(stream, tri.shape[1], dtype)
     tmin_r, tup_r, gaabb, laabb, tri = _lift_vma(
         (o_t, d_t), tmin_r, tup_r, gaabb, laabb, tri
     )
@@ -480,14 +512,20 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
     )
     scratch = [pltpu.VMEM((g_pad, ray_tile), dtype)]
     if stream:
+        gshape = (
+            (2, group * prim_tile, _TAB_ROWS)
+            if layout == "rows"
+            else (2, _TAB_ROWS, group * prim_tile)
+        )
         scratch += [
-            pltpu.VMEM((2, _TAB_ROWS, group * prim_tile), dtype),
+            pltpu.VMEM(gshape, dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
     t, i, nrm, m = pl.pallas_call(
         functools.partial(_bvh_closest_kernel, g_rows=g_pad, group=group,
-                          prim_tile=prim_tile, sub_w=sub_w, stream=stream),
+                          prim_tile=prim_tile, sub_w=sub_w, stream=stream,
+                          rows_layout=layout == "rows"),
         grid=grid,
         in_specs=[
             spec(3), spec(3), spec(1), spec(1),
@@ -511,12 +549,13 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "interpret", "prim_tile", "group", "sub_w", "ray_tile", "stream"
+        "interpret", "prim_tile", "group", "sub_w", "ray_tile", "stream",
+        "layout",
     ),
 )
 def triangle_anyhit_bvh(o, d, t_min, t_max, v0, e1, e2, interpret=False,
                         prim_tile=PRIM_TILE, group=GROUP, sub_w=SUB_W,
-                        ray_tile=RAY_TILE, stream=None):
+                        ray_tile=RAY_TILE, stream=None, layout="cols"):
     """Occlusion against the triangle soup, two-level union-sweep traversal.
     Returns a bool (N,) mask; near-first group order settles lanes fastest.
     ``stream`` as in :func:`triangle_closest_bvh`."""
@@ -524,9 +563,14 @@ def triangle_anyhit_bvh(o, d, t_min, t_max, v0, e1, e2, interpret=False,
     dtype = o.dtype
     tri, laabb, gaabb, g_pad, o_t, d_t, tmin_r, tmax_r, n_pad = _prep(
         o, d, t_min, t_max, v0, e1, e2, None, None, dtype,
-        prim_tile, group, ray_tile, anyhit=True,
+        prim_tile, group, ray_tile, anyhit=True, layout=layout,
     )
-    stream = _resolve_stream(stream, tri.shape[1], dtype)
+    if layout == "rows":
+        if stream is False:
+            raise ValueError("layout='rows' is HBM-streamed only")
+        stream = True
+    else:
+        stream = _resolve_stream(stream, tri.shape[1], dtype)
     tmin_r, tmax_r, gaabb, laabb, tri = _lift_vma(
         (o_t, d_t), tmin_r, tmax_r, gaabb, laabb, tri
     )
@@ -542,14 +586,20 @@ def triangle_anyhit_bvh(o, d, t_min, t_max, v0, e1, e2, interpret=False,
     )
     scratch = [pltpu.VMEM((g_pad, ray_tile), dtype)]
     if stream:
+        gshape = (
+            (2, group * prim_tile, _TAB_ROWS)
+            if layout == "rows"
+            else (2, _TAB_ROWS, group * prim_tile)
+        )
         scratch += [
-            pltpu.VMEM((2, _TAB_ROWS, group * prim_tile), dtype),
+            pltpu.VMEM(gshape, dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
     occ = pl.pallas_call(
         functools.partial(_bvh_anyhit_kernel, g_rows=g_pad, group=group,
-                          prim_tile=prim_tile, sub_w=sub_w, stream=stream),
+                          prim_tile=prim_tile, sub_w=sub_w, stream=stream,
+                          rows_layout=layout == "rows"),
         grid=grid,
         in_specs=[
             spec(3), spec(3), spec(1), spec(1),

@@ -338,3 +338,35 @@ def test_bvh_streamed_matches_resident_table():
     ob = bv.triangle_anyhit_bvh(o, d, 1e-3, 2.5, scene.tri_v0, scene.tri_e1,
                                 scene.tri_e2, interpret=True, stream=True)
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+def test_bvh_rows_layout_matches_cols():
+    """The rows-layout streamed BVH ((T,16) table, no in-kernel transpose)
+    must be bitwise-identical to the lane-transposed form."""
+    import jax
+    import numpy as np
+
+    from pathtrace_tpu.models import scenes
+    from pathtrace_tpu.ops import bvh_intersect as bv
+
+    scene = scenes.mesh_scene(n_tris=2000)
+    key = jax.random.PRNGKey(7)
+    n = 1024
+    lo = jnp.min(scene.tri_cluster_min, axis=0)
+    hi = jnp.max(scene.tri_cluster_max, axis=0)
+    o = jax.random.uniform(key, (n, 3)) * (hi - lo) + lo
+    d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    args = (o, d, 1e-3, jnp.inf, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+            scene.tri_normal, scene.tri_mat)
+    a = bv.triangle_closest_bvh(*args, interpret=True, stream=False)
+    b = bv.triangle_closest_bvh(*args, interpret=True, layout="rows")
+    for x, y, name in zip(a, b, ("t", "idx", "normal", "mat")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+    oa = bv.triangle_anyhit_bvh(o, d, 1e-3, 2.5, scene.tri_v0, scene.tri_e1,
+                                scene.tri_e2, interpret=True, stream=False)
+    ob = bv.triangle_anyhit_bvh(o, d, 1e-3, 2.5, scene.tri_v0, scene.tri_e1,
+                                scene.tri_e2, interpret=True, layout="rows")
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
