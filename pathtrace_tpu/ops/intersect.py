@@ -458,12 +458,16 @@ def intersect(
         sph_small = s_rows <= 512
         def run_tri(tmax):
             if bvh and not tri_small:
+                import os as _os
+
                 from . import bvh_intersect as bv
 
                 return bv.triangle_closest_bvh(
                     o, d, t_min_b, tmax, scene.tri_v0, scene.tri_e1,
                     scene.tri_e2, scene.tri_normal, scene.tri_mat,
                     interpret=interp,
+                    # A/B knob (trace time): rows = streamed no-transpose.
+                    layout=_os.environ.get("PT_BVH_LAYOUT", "cols"),
                 )
             if resident and not tri_small:
                 from . import resident_intersect as rs
@@ -673,11 +677,14 @@ def occluded(
         )
         if (binned or resident or bvh) and not tri_onetile:
             if bvh:
+                import os as _os
+
                 from . import bvh_intersect as bv
 
                 tri_occ = bv.triangle_anyhit_bvh(
                     o, d, t_min_b, t_max_b, scene.tri_v0, scene.tri_e1,
                     scene.tri_e2, interpret=method == "pallas_interpret",
+                    layout=_os.environ.get("PT_BVH_LAYOUT", "cols"),
                 )
             elif resident:
                 from . import resident_intersect as rs
