@@ -258,10 +258,20 @@ def _pool_loop(
     # trying masks in order. Per-stream totals spread ~sigma*sqrt(2 ln S)
     # (~8% idle measured at 16k slots); sharing over a group of G divides
     # the spread by ~sqrt(G)..G. Each (owner, mask) pair has a unique thief,
-    # so the per-mask flush rings never collide. PT_NO_STEAL is the A/B knob.
-    if os.environ.get("PT_NO_STEAL") or S % 2 != 0:
+    # so the per-mask flush rings never collide.
+    #
+    # OFF by default — measured round 4 (v5e headline bench, 16k slots):
+    # G4 stealing saves only ~4% of pool iterations (4680 vs 4872) but costs
+    # 5.8x PER ITERATION (20.1 vs 116.8 Mrays/s end to end; pair stealing
+    # 48.2) — the XOR reshuffles, sequenced-take guards and per-mask flush
+    # rings triple-digit-microsecond the hot loop. The CPU drain-iteration
+    # model that motivated it was real but the constant dwarfs it. Opt in
+    # with PT_STEAL=4 (XOR-groups of 4) or PT_STEAL=2 (pairs) for workloads
+    # that are genuinely drain-tail-dominated (tiny frames, huge pools).
+    steal_env = os.environ.get("PT_STEAL", "")
+    if not steal_env or os.environ.get("PT_NO_STEAL") or S % 2 != 0:
         steal_masks: tuple = ()
-    elif S % 4 == 0 and os.environ.get("PT_STEAL_GROUP", "4") != "2":
+    elif S % 4 == 0 and steal_env != "2":
         steal_masks = (1, 2, 3)
     else:
         steal_masks = (1,)

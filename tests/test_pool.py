@@ -124,14 +124,14 @@ def test_pool_pair_stealing_equivalence():
                                        num_slots=64, seed=5)
         return np.asarray(img), ray_count(rays), int(iters)
 
-    a, ra, ia = run()
-    os.environ["PT_NO_STEAL"] = "1"
+    os.environ["PT_STEAL"] = "4"     # stealing is opt-in since round 4
     jax.clear_caches()   # the knob is read at trace time
     try:
-        b, rb, ib = run()
+        a, ra, ia = run()
     finally:
-        del os.environ["PT_NO_STEAL"]
+        del os.environ["PT_STEAL"]
         jax.clear_caches()
+    b, rb, ib = run()
     assert ra == rb                      # identical work executed
     assert ia <= ib                      # stealing never adds iterations
     assert ib > ia                       # and actually harvests this tail
