@@ -4,6 +4,11 @@ whatever device mesh is available (multi-chip via shard_map when >1 device).
 Usage: python examples/animate_sweep.py [frames]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 from pathtrace_tpu.cli import main

@@ -15,6 +15,11 @@ Configs (BASELINE.json):
   5  120-frame camera sweep, 640x360 @ 16 spp (wall seconds per frame)
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import dataclasses
 import json

@@ -6,6 +6,12 @@ wave by (direction octant, origin block) should let finer clusters cut the
 brute-force 488-sphere sweep. This measures the kernels on the SAME ray
 population unsorted vs key-sorted, at 256- and 64-row cluster sizes.
 """
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -6,6 +6,12 @@ times the triangle closest-hit and fused any-hit kernels on primary-like
 cluster-culling levers (ray sorting, miss-bit grouping, early-out) can be
 evaluated in isolation from the pool loop.
 """
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

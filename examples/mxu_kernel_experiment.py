@@ -9,6 +9,12 @@ Variant A: current kernel (VPU everything)
 Variant B: winner resolve as (5,P)@(P,R) dot    [exact: one-hot operand]
 Variant C: B + coupling terms as (P,3)@(3,2R) dot
 """
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import time
 

@@ -11,6 +11,11 @@ Four independent chains hide result latency; each chain's next X depends on
 its previous Y so no iteration can be elided. Prints one JSON line.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import json
 import os

@@ -4,6 +4,12 @@ Times (a) the bounce megakernel alone, (b) the standalone closest-hit and
 any-hit kernels it subsumes, (c) the unfused shading glue, all at production
 wave size with the scan-amortized distinct-input pattern (CLAUDE.md hygiene).
 """
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -5,6 +5,12 @@ so optimization work targets the real bottleneck. Every timed call uses distinct
 inputs (tunnel elides identical dispatches) and ends with a forced host
 transfer (CLAUDE.md benchmark hygiene).
 """
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -5,6 +5,11 @@ accumulation and checkpointing — interrupt and re-run with --resume semantics
 Usage: python examples/progressive_1080p.py [total_spp]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 from pathtrace_tpu.cli import main

@@ -5,6 +5,11 @@ artifact (main.rs:62-67).
 Usage: python examples/render_cornell.py [spp]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 from pathtrace_tpu.cli import main

@@ -10,6 +10,11 @@ Four independent chains hide the FMA latency; K iterations amortize kernel
 entry. Prints ops/s counting one multiply-add as TWO flops.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import os
 import time
