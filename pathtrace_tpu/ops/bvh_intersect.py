@@ -77,6 +77,20 @@ GROUP = 16         # leaves per supergroup
 _EXHAUSTED = 0x7F800000
 
 
+def env_params() -> dict:
+    """Trace-time tuning knobs for in-pool A/B sweeps (the pool call sites in
+    ops/intersect.py splat these): PT_BVH_SUBW / PT_BVH_GROUP /
+    PT_BVH_PRIM_TILE override the traversal's static geometry. Unset → {}
+    so explicit keyword callers are unaffected."""
+    out = {}
+    for env, kw in (("PT_BVH_SUBW", "sub_w"), ("PT_BVH_GROUP", "group"),
+                    ("PT_BVH_PRIM_TILE", "prim_tile")):
+        v = os.environ.get(env)
+        if v:
+            out[kw] = int(v)
+    return out
+
+
 def _group_aabbs(laabb, c_rows, group, dtype):
     """Supergroup AABBs by reducing leaf AABBs over ``group``-row blocks.
 

@@ -468,6 +468,7 @@ def intersect(
                     interpret=interp,
                     # A/B knob (trace time): rows = streamed no-transpose.
                     layout=_os.environ.get("PT_BVH_LAYOUT", "cols"),
+                    **bv.env_params(),
                 )
             if resident and not tri_small:
                 from . import resident_intersect as rs
@@ -685,6 +686,7 @@ def occluded(
                     o, d, t_min_b, t_max_b, scene.tri_v0, scene.tri_e1,
                     scene.tri_e2, interpret=method == "pallas_interpret",
                     layout=_os.environ.get("PT_BVH_LAYOUT", "cols"),
+                    **bv.env_params(),
                 )
             elif resident:
                 from . import resident_intersect as rs

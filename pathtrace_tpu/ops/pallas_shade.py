@@ -1645,7 +1645,9 @@ def any_hit_quad(
     import os as _os
     if ray_tile is None:
         ray_tile = int(_os.environ.get("PT_FUSED_RAY_TILE", "0")) or RAY_TILE
-    interval = bool(_os.environ.get("PT_ANYHIT_INTERVAL"))
+    # Default ON since the round-4 A/B (+3.1% headline); PT_ANYHIT_INTERVAL=0
+    # restores the sqrt/root-select form for attribution runs.
+    interval = _os.environ.get("PT_ANYHIT_INTERVAL", "1") not in ("0", "")
     n = t_max.shape[0]
     n_pad = _cdiv(n, ray_tile) * ray_tile
     dtype = o.dtype

@@ -407,9 +407,12 @@ def _pool_loop(
             u = jnp.broadcast_to(fzero + 0.5, shape) * (
                 1.0 + 1e-6 * (bounce_next[None, :] if tl else
                               bounce_next[:, None]).astype(dtype))
+        # Raygen fusion measured NEGATIVE on TPU in the round-4 A/B (−0.9%:
+        # the saved camera glue is cheaper as XLA ops than as extra
+        # megakernel rows) — opt-in via PT_RAYGEN_FUSION=1 for A/B runs.
         fuse_rg = (
             fused and "noraygen" not in _ablate
-            and not _os.environ.get("PT_NO_RAYGEN_FUSION")  # A/B knob
+            and bool(_os.environ.get("PT_RAYGEN_FUSION"))
         )
         if not fuse_rg:
             jx = u[rng_ops.SLOT_JITTER_X] if tl else u[:, rng_ops.SLOT_JITTER_X]
