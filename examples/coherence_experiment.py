@@ -74,7 +74,8 @@ def main():
     tmin = jnp.full((N,), 1e-3, jnp.float32)
     tmax = jnp.full((N,), jnp.inf, jnp.float32)
 
-    order = jnp.argsort(_ray_sort_key(scene, o, d, tmin, tmax))
+    kh, kl = _ray_sort_key(scene, o, d, tmin, tmax)
+    order = jnp.lexsort((kl, kh))
     os_, ds_ = o[order], d[order]
     jax.block_until_ready((o, d, os_, ds_))
 

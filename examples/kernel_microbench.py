@@ -108,9 +108,9 @@ def main():
     def sorted_rays(sets):
         out = []
         for o, d in sets:
-            key = _ray_sort_key(sc, o, d, jnp.zeros(o.shape[0]),
-                                jnp.full((o.shape[0],), jnp.inf))
-            order = jnp.argsort(key)
+            kh, kl = _ray_sort_key(sc, o, d, jnp.zeros(o.shape[0]),
+                                   jnp.full((o.shape[0],), jnp.inf))
+            order = jnp.lexsort((kl, kh))
             out.append((o[order], d[order]))
         return out
 

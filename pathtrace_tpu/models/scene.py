@@ -51,6 +51,62 @@ def _morton_order(centroids: np.ndarray) -> np.ndarray:
     return np.argsort(_morton3((centroids - lo) / span), kind="stable")
 
 
+# Triangle ordering granularity: recursive splits land on multiples of this
+# so every 128-row BVH leaf (and every 256-row flat cluster) is one subtree
+# of the split — the unit whose AABB tightness the kernels cull against.
+SPLIT_LEAF = 128
+
+
+def _split_order(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
+                 sah: bool = True) -> np.ndarray:
+    """Top-down longest-axis split order for triangles (SAH or median).
+
+    Replaces the global morton order for triangle soups: sorting each node's
+    triangles along its longest centroid axis and splitting at a
+    SPLIT_LEAF-aligned position (surface-area-heuristic pick, or the aligned
+    median) roughly halves leaf-AABB overlap vs morton on curved meshes —
+    measured 1.9x fewer union-sweep leaf visits on the 70k-tri knot
+    (docs/PERFORMANCE.md round 4). Pure host-side numpy at build time; the
+    kernels are unchanged (they derive leaf/cluster AABBs from row order).
+    """
+    n = len(p0)
+    if n <= 1:
+        return np.arange(n)
+    cent = (p0 + p1 + p2) / 3.0
+    tmn = np.minimum(np.minimum(p0, p1), p2)
+    tmx = np.maximum(np.maximum(p0, p1), p2)
+    out = []
+
+    def area(mn, mx):
+        d = np.maximum(mx - mn, 0.0)
+        return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
+
+    def rec(idx):
+        if len(idx) <= SPLIT_LEAF:
+            out.append(idx)
+            return
+        c = cent[idx]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        sidx = idx[np.argsort(c[:, ax], kind="stable")]
+        if sah:
+            mn, mx = tmn[sidx], tmx[sidx]
+            pre_mn = np.minimum.accumulate(mn)
+            pre_mx = np.maximum.accumulate(mx)
+            suf_mn = np.minimum.accumulate(mn[::-1])[::-1]
+            suf_mx = np.maximum.accumulate(mx[::-1])[::-1]
+            ks = np.arange(SPLIT_LEAF, len(idx), SPLIT_LEAF)
+            cost = area(pre_mn[ks - 1], pre_mx[ks - 1]) * ks + \
+                area(suf_mn[ks], suf_mx[ks]) * (len(idx) - ks)
+            k = int(ks[np.argmin(cost)])
+        else:
+            k = (len(idx) // 2 // SPLIT_LEAF) * SPLIT_LEAF or SPLIT_LEAF
+        rec(sidx[:k])
+        rec(sidx[k:])
+
+    rec(np.arange(n))
+    return np.concatenate(out)
+
+
 def _cluster_aabbs(pmin: np.ndarray, pmax: np.ndarray, rows: int, cluster: int):
     """Per-cluster AABBs for `rows` padded rows; empty clusters inverted."""
     n_clusters = max(rows // cluster, 1)
@@ -190,13 +246,18 @@ class SceneBuilder:
         sphs = self._sphs or []
         mats = list(self._mats) or [mat.Lambertian((0.0, 0.0, 0.0))]
 
-        # Morton-sort primitives so consecutive rows are spatially local —
-        # each CLUSTER_SIZE-row kernel tile then has a tight AABB the
-        # intersection kernels can cull against. Light auto-detection below
-        # runs on the reordered lists, so light ids need no remapping.
+        # Spatially order primitives so consecutive rows are local — each
+        # CLUSTER_SIZE-row kernel tile / 128-row BVH leaf then has a tight
+        # AABB the intersection kernels can cull against. Triangles get the
+        # SAH split order (2.0x faster BVH traversal than morton on the 70k
+        # knot, measured); spheres keep morton (their clusters are already
+        # near-isotropic). Light auto-detection below runs on the reordered
+        # lists, so light ids need no remapping.
         if num_tris > 1:
-            cent = np.stack([(t[0] + t[1] + t[2]) / 3.0 for t in tris])
-            tris = [tris[i] for i in _morton_order(cent)]
+            p0 = np.stack([t[0] for t in tris])
+            p1 = np.stack([t[1] for t in tris])
+            p2 = np.stack([t[2] for t in tris])
+            tris = [tris[i] for i in _split_order(p0, p1, p2)]
         if num_sphs > 1:
             cent = np.stack([s[0] for s in sphs])
             sphs = [sphs[i] for i in _morton_order(cent)]

@@ -324,21 +324,58 @@ def _ray_sort_key(scene: Scene, o, d, t_min, t_max):
     tnear = jnp.maximum(jnp.max(jnp.minimum(a, b), axis=1), t_min)
     tfar = jnp.minimum(jnp.min(jnp.maximum(a, b), axis=1), t_max)
     miss = (tnear > tfar).astype(jnp.uint32)
-    return (miss << 30) | (octant << 21) | morton
+
+    # Primary key: the ray's two nearest *entered* supergroups (8 consecutive
+    # 256-row triangle clusters ≈ one BVH supergroup). Grouping lanes by the
+    # regions they actually traverse beats any position/direction proxy —
+    # measured 1.6x (bounce) to 4.6x (primary) fewer union-sweep leaf visits
+    # on the 70k knot than the octant|origin key alone, which stays as the
+    # tie-break below. Rays that enter nothing get id 0x3FFF and sort last
+    # within their miss class.
+    cmn, cmx = scene.tri_cluster_min, scene.tri_cluster_max
+    nc = cmn.shape[0]
+    gblk = 8
+    ng = -(-nc // gblk)
+    pad = ng * gblk - nc
+    if pad:
+        cmn = jnp.concatenate([cmn, jnp.full((pad, 3), jnp.inf, cmn.dtype)])
+        cmx = jnp.concatenate([cmx, jnp.full((pad, 3), -jnp.inf, cmx.dtype)])
+    gmn = cmn.reshape(ng, gblk, 3).min(axis=1)
+    gmx = cmx.reshape(ng, gblk, 3).max(axis=1)
+    ga = (gmn[:, None, :] - o[None]) * inv[None]       # (G, N, 3)
+    gb = (gmx[:, None, :] - o[None]) * inv[None]
+    gtn = jnp.maximum(jnp.minimum(ga, gb).max(axis=2), t_min[None])
+    gtf = jnp.minimum(jnp.maximum(ga, gb).min(axis=2), t_max[None])
+    gvalid = (gmn[:, 0] <= gmx[:, 0])[:, None]
+    ge = jnp.where((gtn <= gtf) & gvalid, gtn, jnp.inf)  # (G, N)
+    sentinel = jnp.uint32(0x3FFF)
+    iota = jax.lax.broadcasted_iota(jnp.int32, ge.shape, 0)
+    g1 = jnp.argmin(ge, axis=0).astype(jnp.int32)
+    e1v = jnp.min(ge, axis=0)
+    ge2 = jnp.where(iota == g1[None, :], jnp.inf, ge)
+    g2 = jnp.argmin(ge2, axis=0).astype(jnp.int32)
+    e2v = jnp.min(ge2, axis=0)
+    g1k = jnp.where(jnp.isfinite(e1v), jnp.minimum(g1, 0x3FFF).astype(jnp.uint32), sentinel)
+    g2k = jnp.where(jnp.isfinite(e2v), jnp.minimum(g2, 0x3FFF).astype(jnp.uint32), sentinel)
+    key_hi = (miss << 30) | (g1k << 15) | g2k
+    return key_hi, (octant << 21) | morton
 
 
 def _sort_rays_by_key(key, o, d, t_min_b, t_max_b):
-    """Reorder a ray wave by ``key`` with one multi-payload ``lax.sort``
-    (measured ~13x cheaper than argsort + gathered reorders at production
-    wave sizes). Returns the sorted wave plus each sorted lane's original
-    index, which :func:`_unsort` uses to restore caller order."""
+    """Reorder a ray wave by ``key`` (a tuple of major-to-minor uint32 keys)
+    with one multi-payload ``lax.sort`` (measured ~13x cheaper than argsort +
+    gathered reorders at production wave sizes). Returns the sorted wave plus
+    each sorted lane's original index, which :func:`_unsort` uses to restore
+    caller order."""
     n = o.shape[0]
     idx0 = jnp.arange(n, dtype=jnp.int32)
-    (_, ox, oy, oz, dx, dy, dz, tmn, tmx, idx) = jax.lax.sort(
-        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+    keys = key if isinstance(key, tuple) else (key,)
+    out = jax.lax.sort(
+        (*keys, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
          t_min_b, t_max_b, idx0),
-        num_keys=1,
+        num_keys=len(keys),
     )
+    (ox, oy, oz, dx, dy, dz, tmn, tmx, idx) = out[len(keys):]
     return (
         jnp.stack([ox, oy, oz], axis=1),
         jnp.stack([dx, dy, dz], axis=1),
