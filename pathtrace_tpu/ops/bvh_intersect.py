@@ -250,8 +250,18 @@ def _stream_fetch(tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
 
 
 def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
-                        tri_ref, t_ref, i_ref, n_ref, m_ref, ge, *scratch,
-                        g_rows, group, prim_tile, sub_w, stream, rows_layout):
+                        tri_ref, t_ref, i_ref, n_ref, m_ref, *outs_scratch,
+                        g_rows, group, prim_tile, sub_w, stream, rows_layout,
+                        counters=False):
+    if counters:
+        # Diagnostic outputs (see triangle_closest_bvh(counters=True)):
+        # per-subtile round and leaf-sweep totals, broadcast over the
+        # subtile's lanes of two extra (1, W) int32 rows.
+        rounds_ref, sweeps_ref, ge, *scratch = outs_scratch
+        rounds_ref[:, :] = jnp.zeros(rounds_ref.shape, jnp.int32)
+        sweeps_ref[:, :] = jnp.zeros(sweeps_ref.shape, jnp.int32)
+    else:
+        ge, *scratch = outs_scratch
     if stream:
         gbuf, dma_sem = scratch
     t_ref[:, :] = jnp.full(t_ref.shape, _INF)
@@ -291,6 +301,8 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
 
             @pl.when(alive)
             def _():
+                if counters:
+                    rounds_ref[0:1, sl] = rounds_ref[0:1, sl] + 1
                 lb = laabb_ref[pl.ds(gstar * group, group), :]  # (group, 8)
                 le = _entries_from(lb, ox, oy, oz, dx, dy, dz, t_min, t_up)
 
@@ -301,6 +313,8 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
 
                     @pl.when(jnp.any(gate))
                     def _():
+                        if counters:
+                            sweeps_ref[0:1, sl] = sweeps_ref[0:1, sl] + 1
                         base = (gstar * group + k) * prim_tile
                         if stream and rows_layout:
                             cols = gbuf[cur][k * prim_tile:(k + 1) * prim_tile, :]
@@ -479,13 +493,13 @@ def _resolve_stream(stream, t_rows, dtype):
     jax.jit,
     static_argnames=(
         "interpret", "prim_tile", "group", "sub_w", "ray_tile", "stream",
-        "layout",
+        "layout", "counters",
     ),
 )
 def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
                          interpret=False, prim_tile=PRIM_TILE, group=GROUP,
                          sub_w=SUB_W, ray_tile=RAY_TILE, stream=None,
-                         layout="cols"):
+                         layout="cols", counters=False):
     """Closest triangle hit via the two-level union-sweep traversal.
 
     Same return contract as pallas_intersect.triangle_closest:
@@ -536,10 +550,23 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
-    t, i, nrm, m = pl.pallas_call(
+    out_specs = [spec(1), spec(1), spec(3), spec(1)]
+    out_shape = [
+        _out_struct((1, n_pad), dtype, o, d),
+        _out_struct((1, n_pad), jnp.int32, o, d),
+        _out_struct((3, n_pad), dtype, o, d),
+        _out_struct((1, n_pad), jnp.int32, o, d),
+    ]
+    if counters:
+        out_specs += [spec(1), spec(1)]
+        out_shape += [
+            _out_struct((1, n_pad), jnp.int32, o, d),
+            _out_struct((1, n_pad), jnp.int32, o, d),
+        ]
+    res = pl.pallas_call(
         functools.partial(_bvh_closest_kernel, g_rows=g_pad, group=group,
                           prim_tile=prim_tile, sub_w=sub_w, stream=stream,
-                          rows_layout=layout == "rows"),
+                          rows_layout=layout == "rows", counters=counters),
         grid=grid,
         in_specs=[
             spec(3), spec(3), spec(1), spec(1),
@@ -547,16 +574,17 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # laabb (C, 8), resident
             tri_spec,                                # tri (16, T)
         ],
-        out_specs=[spec(1), spec(1), spec(3), spec(1)],
-        out_shape=[
-            _out_struct((1, n_pad), dtype, o, d),
-            _out_struct((1, n_pad), jnp.int32, o, d),
-            _out_struct((3, n_pad), dtype, o, d),
-            _out_struct((1, n_pad), jnp.int32, o, d),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
     )(o_t, d_t, tmin_r, tup_r, gaabb, laabb, tri)
+    t, i, nrm, m = res[:4]
+    if counters:
+        # Per-subtile diagnostics, one value per sub_w span of the padded
+        # wave: (rounds, leaf sweeps). Lanes within a span share the value.
+        return (t[0, :n], i[0, :n], nrm[:, :n].T, m[0, :n],
+                res[4][0, ::sub_w], res[5][0, ::sub_w])
     return t[0, :n], i[0, :n], nrm[:, :n].T, m[0, :n]
 
 

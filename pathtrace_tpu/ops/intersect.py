@@ -238,34 +238,33 @@ def default_method() -> str:
     return "pallas" if jax.default_backend() != "cpu" else "bruteforce"
 
 
-# "auto"'s winner for a PURE INCOHERENT wave on a big-triangle scene: the
-# per-ray binned front-to-back order measured 1.3x the per-tile kernels on
-# surface-origin bounce waves of the 70k-tri scene (docs/PERFORMANCE.md,
-# round 2), while coherent primary waves and the pool's mixed waves keep the
-# per-tile kernels. Measured, not theoretical — update with measurements,
-# not intuition.
-WAVE_INCOHERENT_METHOD = "binned"
+# "auto"'s winner for big-triangle scenes, ANY wave coherence: the two-level
+# BVH union sweep. Round-4 in-pool measurements on the 70k-tri scene (SAH
+# build + entered-group sort key, identical checksums): bvh 4.22 Mrays/s vs
+# pallas flat 3.44 vs binned 0.77; round 2's binned-wins-on-incoherent-waves
+# result predates the hierarchy and no longer holds. Measured, not
+# theoretical — update with measurements, not intuition.
+BIG_TRI_METHOD = "bvh"
 
 
 def resolve_auto(method: str, num_tris: int, coherent: bool | None) -> str:
     """Resolve ``method="auto"`` given the wave's coherence hint.
 
-    ``coherent=True`` (camera/primary waves) and ``coherent=None`` (mixed,
-    e.g. the production pool) keep the platform default; ``coherent=False``
-    (bounce/shadow waves of the wavefront integrator) routes big-triangle
-    scenes to the per-ray traversal that wins on incoherent waves. An
-    explicit :func:`set_default_method` override always wins."""
+    Scenes with at least RAY_SORT_MIN_TRIS triangles route to the BVH union
+    sweep for every wave class (primary, bounce, and the pool's mixed waves
+    all measured faster there); small scenes keep the platform default whose
+    one-tile sweeps have no per-visit constants to amortize. An explicit
+    :func:`set_default_method` override always wins."""
     if method != "auto":
         return method
     resolved = default_method()
     if (
         _METHOD_OVERRIDE is None
-        and coherent is False
         and num_tris >= RAY_SORT_MIN_TRIS
         and resolved in ("pallas", "pallas_interpret")
     ):
         suffix = "_interpret" if resolved == "pallas_interpret" else ""
-        return WAVE_INCOHERENT_METHOD + suffix
+        return BIG_TRI_METHOD + suffix
     return resolved
 
 
