@@ -123,13 +123,18 @@ def config5(quick):
     mesh = make_mesh()  # all local devices on the frame axis
     cams = scenes.sweep_cameras(num_frames=frames, width=w, height=h)
 
-    # Untimed compile on a perturbed 2-frame batch... no: frame count is a
-    # traced scan length per device — warm with the full set, perturbed.
-    warm = [dataclasses.replace(c, origin=c.origin + 1e-4) for c in cams]
-    out, _, _ = frames_pool_sharded(sc, warm, cfg, mesh, num_slots=32768)
+    # Untimed compile: one CHUNK of the chunked sweep (same executable is
+    # reused for every chunk of the timed run), cameras perturbed.
+    chunk = 8
+    warm = [dataclasses.replace(c, origin=c.origin + 1e-4)
+            for c in cams[: chunk * len(jax.devices())]]
+    out, _, _ = frames_pool_sharded(sc, warm, cfg, mesh, num_slots=32768,
+                                    chunk_frames=chunk)
     float(jnp.sum(out))
     t0 = time.perf_counter()
-    imgs, rays, iters = frames_pool_sharded(sc, cams, cfg, mesh, num_slots=32768)
+    imgs, rays, iters = frames_pool_sharded(sc, cams, cfg, mesh,
+                                            num_slots=32768,
+                                            chunk_frames=chunk)
     checksum = float(jnp.sum(imgs))
     dt = time.perf_counter() - t0
     total_rays = ray_count(rays)
@@ -137,7 +142,7 @@ def config5(quick):
         "config": 5,
         "workload": (
             f"camera sweep {frames} frames {w}x{h} @{spp}spp MIS "
-            f"(one-dispatch pool frame batch, {mesh.shape} mesh)"
+            f"(chunked pool frame batch, {mesh.shape} mesh)"
         ),
         "wall_s": round(dt, 3),
         "s_per_frame": round(dt / frames, 4),

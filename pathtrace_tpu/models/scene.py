@@ -253,11 +253,18 @@ class SceneBuilder:
         # knot, measured); spheres keep morton (their clusters are already
         # near-isotropic). Light auto-detection below runs on the reordered
         # lists, so light ids need no remapping.
-        if num_tris > 1:
+        # SAH ordering only pays off once leaves are numerous (< ~4 leaves
+        # there is nothing to split); keeping morton below the threshold also
+        # keeps small scenes' primitive order — and thus light order and the
+        # pinned golden-oracle artifact — byte-stable across rounds.
+        if num_tris > 512:
             p0 = np.stack([t[0] for t in tris])
             p1 = np.stack([t[1] for t in tris])
             p2 = np.stack([t[2] for t in tris])
             tris = [tris[i] for i in _split_order(p0, p1, p2)]
+        elif num_tris > 1:
+            cent = np.stack([(t[0] + t[1] + t[2]) / 3.0 for t in tris])
+            tris = [tris[i] for i in _morton_order(cent)]
         if num_sphs > 1:
             cent = np.stack([s[0] for s in sphs])
             sphs = [sphs[i] for i in _morton_order(cent)]

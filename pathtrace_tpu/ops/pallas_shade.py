@@ -1593,23 +1593,23 @@ def _quad_anyhit_kernel(o_ref, d_ref, tmax_ref, tri_ref, quad_ref, quadg_ref,
         disc = pairs[:cb, :]
         half_b = odc - pairs[cb:, :]
         if interval:
-            # sqrt-free interval test. Occlusion is "the quadratic has a
-            # root in the closed [t_min, t_max]" (exactly the reference's
-            # near-then-far selection + range check — if the near root is
-            # below t_min the far root is the candidate, and a root exists
-            # in range iff the monic parabola f(t) = (t + hb)^2 - disc
-            # crosses zero there): f(a)f(b) <= 0 catches a single crossing
-            # (boundaries inclusive), and both-roots-inside needs the vertex
-            # -hb in range with disc >= 0 while f is positive at both ends.
-            # Rounding differs from the sqrt form only on knife-edge lanes
-            # (the documented determinism freedom). PT_ANYHIT_INTERVAL=1.
+            # sqrt-free interval test, minimal-op form. Occlusion is "the
+            # quadratic has a root in the closed [t_min, t_max]" (exactly the
+            # reference's near-then-far selection + range check). With roots
+            # -hb ∓ √disc, the interval [t_min, t_max] intersects [r1, r2]
+            # iff  √disc ≥ t_min + hb  (far root past t_min)  and
+            #      √disc ≥ -(t_max + hb)  (near root before t_max);
+            # folding the two via m = max(...) and squaring sign-awarely,
+            # that is  disc ≥ 0  ∧  disc ≥ m·|m|  — 9 (P, W)-plane ops vs 19
+            # for the parabola-endpoint form this replaces (measured +3.1%
+            # headline over the sqrt form; this form trims the same test
+            # further). Rounding differs from the sqrt form only on
+            # knife-edge lanes (the documented determinism freedom).
+            # PT_ANYHIT_INTERVAL=0 restores the sqrt form for A/B.
             ta = t_min + half_b
             tb = t_max + half_b
-            fa = ta * ta - disc
-            fb = tb * tb - disc
-            ok_any = (fa * fb <= 0.0) | (
-                (fa > 0.0) & (disc >= 0.0) & (ta <= 0.0) & (tb >= 0.0)
-            )
+            m = jnp.maximum(ta, -tb)
+            ok_any = (disc >= 0.0) & (disc >= m * jnp.abs(m))
             ok_any = ok_any & (t_max >= t_min)   # empty ranges never hit
             occ = occ | jnp.any(ok_any, axis=0, keepdims=True)
         else:

@@ -390,13 +390,24 @@ def frames_pool_sharded(
     mesh: Optional[Mesh] = None,
     num_slots: int = 32768,
     method: str | None = None,
+    chunk_frames: int | None = 8,
 ):
     """Batched animation on the production pool engine (BASELINE config 5).
 
     Replaces the wave-integrator ``frames_sharded`` for throughput work: the
     pool renderer is several times faster at production sizes (its occupancy
-    does not collapse with the wave tail), and the whole sweep still runs as
-    one dispatch — frames over ``dp``, sample windows over ``sp``.
+    does not collapse with the wave tail). Frames shard over ``dp``, sample
+    windows over ``sp``.
+
+    ``chunk_frames`` bounds how many frames *per device* ride in one
+    dispatch: the sweep runs as ceil(F / (dp*chunk)) identical dispatches of
+    one compiled executable. Frames are mutually independent (counter RNG on
+    global (pixel, sample); per-frame cameras), so chunking is sample-exact.
+    Bounded dispatches keep device runs interruptible and sidestep the
+    multi-minute single-dispatch executions that the remote runtime's
+    watchdog kills (observed: a 120-frame one-dispatch mesh sweep crashes the
+    TPU worker; 16 frames are fine — docs/PERFORMANCE.md round 4). Pass
+    ``None`` for the old single-dispatch form.
 
     Returns ``(frames (F, H, W, 3) mean radiance, counters, iters)``;
     aggregate counters with :func:`pathtrace_tpu.pool.ray_count`.
@@ -405,23 +416,33 @@ def frames_pool_sharded(
     dp = mesh.shape["dp"]
     cameras = list(cameras)
     n_frames = len(cameras)
-    pad = (-n_frames) % dp
-    cams = stack_cameras(cameras + [cameras[-1]] * pad)
     w, h = config.width, config.height
     slots = min(num_slots, w * h)
-    acc, rays, iters = _frames_pool_sum(
-        scene,
-        cams,
-        mesh=mesh,
-        width=w,
-        height=h,
-        spp=config.spp,
-        integrator=config.integrator,
-        max_bounces=config.max_bounces,
-        num_slots=slots,
-        seed=config.seed,
-        method=method,
-    )
+    step = dp * (chunk_frames or -(-n_frames // dp))
+    pad = (-n_frames) % step
+    cams_all = cameras + [cameras[-1]] * pad
+    accs, rays_l, iters_l = [], [], []
+    for s in range(0, len(cams_all), step):
+        cams = stack_cameras(cams_all[s : s + step])
+        acc, rays, iters = _frames_pool_sum(
+            scene,
+            cams,
+            mesh=mesh,
+            width=w,
+            height=h,
+            spp=config.spp,
+            integrator=config.integrator,
+            max_bounces=config.max_bounces,
+            num_slots=slots,
+            seed=config.seed,
+            method=method,
+        )
+        accs.append(acc)
+        rays_l.append(rays)
+        iters_l.append(iters)
+    acc = jnp.concatenate(accs) if len(accs) > 1 else accs[0]
+    rays = jnp.concatenate(rays_l) if len(rays_l) > 1 else rays_l[0]
+    iters = jnp.concatenate(iters_l) if len(iters_l) > 1 else iters_l[0]
     frames = acc[:n_frames].reshape(n_frames, h, w, 3) / config.spp
     return frames, rays[:n_frames], iters[:n_frames]
 

@@ -243,24 +243,24 @@ def test_pool_render_method_invariance():
 
 
 def test_resolve_auto_coherence_hints(monkeypatch):
-    """"auto" routes big-mesh INCOHERENT waves (the wavefront integrator's
-    bounce/shadow traces) to the per-ray binned traversal, keeps the per-tile
-    kernels for coherent primaries and unhinted (mixed/pool) waves, and an
-    explicit set_default_method override always wins."""
+    """"auto" routes big-triangle scenes to the BVH union sweep on EVERY wave
+    class (round-4 in-pool measurements: bvh > pallas flat > binned on
+    primary, bounce, and mixed pool waves alike), keeps the platform default
+    for small scenes, and an explicit set_default_method override wins."""
     from pathtrace_tpu.ops import intersect as im
 
     monkeypatch.setattr(im, "default_method", lambda: "pallas")
     big = im.RAY_SORT_MIN_TRIS
-    assert im.resolve_auto("auto", big, False) == im.WAVE_INCOHERENT_METHOD
-    assert im.resolve_auto("auto", big, True) == "pallas"
-    assert im.resolve_auto("auto", big, None) == "pallas"
+    assert im.resolve_auto("auto", big, False) == im.BIG_TRI_METHOD
+    assert im.resolve_auto("auto", big, True) == im.BIG_TRI_METHOD
+    assert im.resolve_auto("auto", big, None) == im.BIG_TRI_METHOD
     assert im.resolve_auto("auto", big - 1, False) == "pallas"
     # Explicit method requests pass through untouched.
     assert im.resolve_auto("resident", big, False) == "resident"
     # Interpreter default keeps the hint family in interpret mode.
     monkeypatch.setattr(im, "default_method", lambda: "pallas_interpret")
     assert im.resolve_auto("auto", big, False) == (
-        im.WAVE_INCOHERENT_METHOD + "_interpret"
+        im.BIG_TRI_METHOD + "_interpret"
     )
     # A process-wide override beats the hint.
     monkeypatch.setattr(im, "_METHOD_OVERRIDE", "pallas")

@@ -183,3 +183,26 @@ def test_frames_batched_matches_per_frame_render(scene):
         assert_images_match(imgs[i], ref, rtol=1e-3, atol=5e-3, max_outliers=2)
     # Distinct cameras must produce distinct frames.
     assert np.abs(np.asarray(imgs[0]) - np.asarray(imgs[2])).max() > 1e-4
+
+
+def test_frames_pool_chunking_is_sample_exact(scene):
+    """Chunked frame dispatches (bounded single-dispatch duration — the
+    remote runtime kills multi-minute executions) must reproduce the
+    one-dispatch sweep bitwise: frames are independent (counter RNG on
+    global (pixel, sample)), so chunk boundaries cannot change samples."""
+    import dataclasses
+
+    base = scenes.cornell_camera(W, H)
+    cams = [
+        dataclasses.replace(base, origin=base.origin + jnp.asarray([0.02 * i, 0.0, 0.0]))
+        for i in range(5)
+    ]
+    cfg = RenderConfig(width=W, height=H, spp=4, integrator="mis",
+                       max_bounces=4, seed=3)
+    mesh = make_mesh(dp=4, sp=2)
+    one, r1, i1 = frames_pool_sharded(scene, cams, cfg, mesh, num_slots=64,
+                                      chunk_frames=None)
+    chk, r2, i2 = frames_pool_sharded(scene, cams, cfg, mesh, num_slots=64,
+                                      chunk_frames=2)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(chk))
+    assert ray_count(r1) == ray_count(r2)
