@@ -370,3 +370,72 @@ def test_bvh_rows_layout_matches_cols():
     ob = bv.triangle_anyhit_bvh(o, d, 1e-3, 2.5, scene.tri_v0, scene.tri_e1,
                                 scene.tri_e2, interpret=True, layout="rows")
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+def test_bvh_param_knobs_are_bitwise_equal():
+    """PT_BVH_SUBW/GROUP/PRIM_TILE (trace-time tuning knobs threaded through
+    intersect() via bvh_intersect.env_params) must not change results: the
+    union sweep visits different node granularities in a different order but
+    the per-lane winner math is identical."""
+    import jax
+    import numpy as np
+
+    from pathtrace_tpu.ops import bvh_intersect as bv
+
+    rng = np.random.default_rng(4)
+    T, N = 2000, 1024
+    v0 = jnp.asarray(rng.uniform(-5, 5, (T, 3)), jnp.float32)
+    e1 = jnp.asarray(rng.uniform(-0.5, 0.5, (T, 3)), jnp.float32)
+    e2 = jnp.asarray(rng.uniform(-0.5, 0.5, (T, 3)), jnp.float32)
+    nrm = jnp.cross(e1, e2)
+    nrm = nrm / jnp.linalg.norm(nrm, axis=1, keepdims=True)
+    mat = jnp.asarray(rng.integers(0, 5, (T,)), jnp.int32)
+    o = jnp.asarray(rng.uniform(-6, 6, (N, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    ref = bv.triangle_closest_bvh(o, d, 1e-3, jnp.inf, v0, e1, e2, nrm, mat,
+                                  interpret=True)
+    occ_ref = bv.triangle_anyhit_bvh(o, d, 1e-3, 8.0, v0, e1, e2,
+                                     interpret=True)
+    for kw in ({"sub_w": 128}, {"group": 8}, {"prim_tile": 256},
+               {"sub_w": 512, "group": 32}):
+        got = bv.triangle_closest_bvh(o, d, 1e-3, jnp.inf, v0, e1, e2, nrm,
+                                      mat, interpret=True, **kw)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        occ = bv.triangle_anyhit_bvh(o, d, 1e-3, 8.0, v0, e1, e2,
+                                     interpret=True, **kw)
+        np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ))
+
+
+def test_bvh_counters_diagnostics():
+    """counters=True returns per-subtile (rounds, leaf sweeps) without
+    changing the hit results."""
+    import jax
+    import numpy as np
+
+    from pathtrace_tpu.ops import bvh_intersect as bv
+
+    rng = np.random.default_rng(5)
+    T, N = 1500, 1024
+    v0 = jnp.asarray(rng.uniform(-5, 5, (T, 3)), jnp.float32)
+    e1 = jnp.asarray(rng.uniform(-0.5, 0.5, (T, 3)), jnp.float32)
+    e2 = jnp.asarray(rng.uniform(-0.5, 0.5, (T, 3)), jnp.float32)
+    nrm = jnp.cross(e1, e2)
+    nrm = nrm / jnp.linalg.norm(nrm, axis=1, keepdims=True)
+    mat = jnp.zeros((T,), jnp.int32)
+    o = jnp.asarray(rng.uniform(-6, 6, (N, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    ref = bv.triangle_closest_bvh(o, d, 1e-3, jnp.inf, v0, e1, e2, nrm, mat,
+                                  interpret=True)
+    got = bv.triangle_closest_bvh(o, d, 1e-3, jnp.inf, v0, e1, e2, nrm, mat,
+                                  interpret=True, counters=True)
+    assert len(got) == 6
+    for a, b in zip(ref, got[:4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    rounds, sweeps = np.asarray(got[4]), np.asarray(got[5])
+    assert rounds.shape == (N // 256,) and sweeps.shape == (N // 256,)
+    assert rounds.sum() > 0 and (sweeps >= rounds).all()
