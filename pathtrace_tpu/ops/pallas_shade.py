@@ -742,12 +742,24 @@ def _fused_bounce_kernel(
         if use_mis and num_lights > 0 and "emis" in sections:
             # Light row of the hit primitive (MIS bsdf-side pdf query,
             # rendering.rs:113-121; NOT divided by num_lights — the quirk).
-            lp = lgt_ref[:, _LC_PRIM : _LC_PRIM + 1]
-            mask_l = (lp == prim.astype(lp.dtype)).astype(lp.dtype)
-            lsel = _select_rows(
-                mask_l,
-                [lgt_ref[:, c : c + 1] for c in range(_LC_ISTRI, _LC_EMI)],
-            )
+            if num_lights == 1:
+                # Single light (lights are auto-detected, so every emissive
+                # prim IS a light): an emissive hit's light row can only be
+                # row 0 — broadcast its scalars instead of the one-hot MXU
+                # select. Lanes whose hit is not the light see row-0 values
+                # too, but their w_bsdf is consumed only through the `emis`
+                # gate below, so the image is bitwise identical.
+                lsel = [
+                    lgt_ref[0:1, c : c + 1]
+                    for c in range(_LC_ISTRI, _LC_EMI)
+                ]
+            else:
+                lp = lgt_ref[:, _LC_PRIM : _LC_PRIM + 1]
+                mask_l = (lp == prim.astype(lp.dtype)).astype(lp.dtype)
+                lsel = _select_rows(
+                    mask_l,
+                    [lgt_ref[:, c : c + 1] for c in range(_LC_ISTRI, _LC_EMI)],
+                )
             l_is_tri = lsel[_LC_ISTRI] > 0.5
             lpv = (lsel[_LC_P], lsel[_LC_P + 1], lsel[_LC_P + 2])
             l_rad = lsel[_LC_RAD]
@@ -794,16 +806,22 @@ def _fused_bounce_kernel(
 
     # ================= 3. NEE + shadow any-hit =============================
     if use_nee and num_lights > 0 and "nee" in sections:
-        lidx = jnp.minimum(
-            (u0 * num_lights).astype(jnp.int32), num_lights - 1
-        )
-        liota = jax.lax.broadcasted_iota(
-            jnp.int32, (lgt_ref.shape[0], lidx.shape[1]), 0
-        )
-        mask_pick = (liota == lidx).astype(ox.dtype)
-        psel = _select_rows(
-            mask_pick, [lgt_ref[:, c : c + 1] for c in range(_LC_PRIM)]
-        )
+        if num_lights == 1:
+            # Single light: every lane picks row 0 (u0 is drawn either way,
+            # so the RNG stream is unchanged) — broadcast its scalars and
+            # skip the pick iota + one-hot MXU select entirely.
+            psel = [lgt_ref[0:1, c : c + 1] for c in range(_LC_PRIM)]
+        else:
+            lidx = jnp.minimum(
+                (u0 * num_lights).astype(jnp.int32), num_lights - 1
+            )
+            liota = jax.lax.broadcasted_iota(
+                jnp.int32, (lgt_ref.shape[0], lidx.shape[1]), 0
+            )
+            mask_pick = (liota == lidx).astype(ox.dtype)
+            psel = _select_rows(
+                mask_pick, [lgt_ref[:, c : c + 1] for c in range(_LC_PRIM)]
+            )
         p_is_tri = psel[_LC_ISTRI] > 0.5
         p_p = (psel[_LC_P], psel[_LC_P + 1], psel[_LC_P + 2])
         p_rad = psel[_LC_RAD]
