@@ -60,8 +60,14 @@ def cmd_render(args) -> int:
         max_bounces=args.max_bounces,
         seed=args.seed,
         samples_per_batch=args.samples_per_batch,
+        num_light_samples=args.light_samples,
         dtype=dtype,
     )
+    if args.light_samples != 1 and args.engine != "wave":
+        print("--light-samples requires --engine wave (the pool megakernel "
+              "is fixed at the reference's NUM_LIGHT_SAMPLES=1)",
+              file=sys.stderr)
+        return 2
 
     state = None
     if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
@@ -179,6 +185,14 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     p = argparse.ArgumentParser(prog="pathtrace_tpu")
+    # Multi-host launch (one process per host; parallel/distributed.py).
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator host:port for multi-host runs "
+                        "(jax.distributed); also PT_COORDINATOR")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total processes in the multi-host run")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank in the multi-host run")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
@@ -210,6 +224,9 @@ def main(argv=None) -> int:
     r = sub.add_parser("render", help="render a still image")
     common(r)
     r.add_argument("--engine", choices=["wave", "pool"], default="pool")
+    r.add_argument("--light-samples", type=int, default=1,
+                   help="NEE light samples per vertex (rendering.rs:10); "
+                        "wave engine only")
     r.add_argument("--samples-per-batch", type=int, default=4)
     r.add_argument("--pool-slots", type=int, default=32768)
     r.add_argument("--progressive", type=int, default=0,
@@ -239,6 +256,12 @@ def main(argv=None) -> int:
     d.set_defaults(fn=cmd_debug_pixel)
 
     args = p.parse_args(argv)
+    if args.coordinator or args.num_processes or os.environ.get("PT_COORDINATOR"):
+        # Must run before any backend touch (device enumeration pins the
+        # single-process runtime).
+        from .parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
     if getattr(args, "dtype", "f32") == "f64":
         # Must flip before any array is created (process-global switch).
         import jax

@@ -70,7 +70,12 @@ def _rr_probability(bounce, next_throughput):
     )
 
 
-@partial(jax.jit, static_argnames=("integrator", "max_bounces", "return_stats"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "integrator", "max_bounces", "return_stats", "num_light_samples"
+    ),
+)
 def trace_wave(
     scene: Scene,
     ray_o: jnp.ndarray,
@@ -79,6 +84,7 @@ def trace_wave(
     integrator: str = "mis",
     max_bounces: int = 64,
     return_stats: bool = False,
+    num_light_samples: int = 1,
 ):
     """Estimate radiance for a wave of primary rays. Returns ``(N, 3)``, or
     ``(radiance, ray_queries)`` when ``return_stats`` — ray_queries is the
@@ -87,19 +93,38 @@ def trace_wave(
 
     ``keys``: per-ray threefry keys (pixel, sample) — bounce indices are folded
     in internally, so results are independent of wave batching.
+
+    ``num_light_samples``: NEE light samples per vertex, averaged — the
+    reference's ``NUM_LIGHT_SAMPLES`` loop (rendering.rs:10,55-81); the
+    constant is 1 upstream. At 1 this function is bitwise-identical to the
+    pre-knob estimator (the extra fold/divide are statically elided);
+    ignored by ``brdf_only`` which has no NEE lane.
     """
     if integrator not in INTEGRATORS:
         raise ValueError(f"unknown integrator {integrator!r}; expected {INTEGRATORS}")
+    if num_light_samples < 1:
+        raise ValueError("num_light_samples must be >= 1")
     if integrator == "brdf_only":
         radiance, rays = _trace_brdf_only(scene, ray_o, ray_d, keys, max_bounces)
     else:
         radiance, rays = _trace_nee_mis(
-            scene, ray_o, ray_d, keys, max_bounces, use_mis=integrator == "mis"
+            scene, ray_o, ray_d, keys, max_bounces,
+            use_mis=integrator == "mis",
+            num_light_samples=num_light_samples,
         )
     return (radiance, rays) if return_stats else radiance
 
 
-def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
+# Key-fold namespace for NEE light samples beyond the first: sample j draws
+# its uniforms from fold_in(key, _NEE_FOLD_BASE + j) before the bounce fold,
+# keeping every random decision at a stable (pixel, sample, light_j, bounce,
+# slot) coordinate. Sample 0 keeps the unfolded key so num_light_samples=1
+# reproduces the historical stream bit-exactly.
+_NEE_FOLD_BASE = 0x4E4545  # "NEE"
+
+
+def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis,
+                   num_light_samples=1):
     n = ray_o.shape[0]
     dtype = ray_o.dtype
 
@@ -133,28 +158,41 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
         mp = bsdf_ops.mat_of(scene, hit.mat)
         i = -s.ray_d
 
-        # --- NEE (rendering.rs:55-81) ---
-        ls = light_ops.sample_light_point(
-            scene,
-            hit.point,
-            u[:, rng_ops.SLOT_LIGHT_SELECT],
-            u[:, rng_ops.SLOT_LIGHT_U],
-            u[:, rng_ops.SLOT_LIGHT_V],
-        )
-        blocked = occluded(scene, hit.point, ls.dir, EPS, ls.dist - EPS,
-                           coherent=False)
-        cos_l = jnp.abs(vec.dot(hit.normal, ls.dir))
-        bsdf_l, pdf_bsdf_l = bsdf_ops.eval_bsdf(
-            scene, hit.mat, i, s.ray_eta, ls.dir, hit.normal, params=mp
-        )
-        if use_mis:
-            w_nee = ls.pdf / (ls.pdf + pdf_bsdf_l)
-        else:
-            w_nee = jnp.ones_like(ls.pdf)
-        direct = (
-            w_nee[:, None] * bsdf_l * ls.emission * (cos_l / ls.pdf)[:, None]
-        )
-        direct = vec.finite_or_zero(jnp.where(blocked[:, None], 0.0, direct))
+        # --- NEE (rendering.rs:55-81): num_light_samples averaged ---
+        def nee_once(u_l):
+            ls = light_ops.sample_light_point(
+                scene,
+                hit.point,
+                u_l[:, rng_ops.SLOT_LIGHT_SELECT],
+                u_l[:, rng_ops.SLOT_LIGHT_U],
+                u_l[:, rng_ops.SLOT_LIGHT_V],
+            )
+            blocked = occluded(scene, hit.point, ls.dir, EPS, ls.dist - EPS,
+                               coherent=False)
+            cos_l = jnp.abs(vec.dot(hit.normal, ls.dir))
+            bsdf_l, pdf_bsdf_l = bsdf_ops.eval_bsdf(
+                scene, hit.mat, i, s.ray_eta, ls.dir, hit.normal, params=mp
+            )
+            if use_mis:
+                w_nee = ls.pdf / (ls.pdf + pdf_bsdf_l)
+            else:
+                w_nee = jnp.ones_like(ls.pdf)
+            d = (
+                w_nee[:, None] * bsdf_l * ls.emission
+                * (cos_l / ls.pdf)[:, None]
+            )
+            return vec.finite_or_zero(jnp.where(blocked[:, None], 0.0, d))
+
+        direct = nee_once(u)
+        for j in range(1, num_light_samples):
+            kj = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                keys, _NEE_FOLD_BASE + j
+            )
+            direct = direct + nee_once(
+                rng_ops.bounce_uniforms(kj, s.bounce, dtype=dtype)
+            )
+        if num_light_samples > 1:  # 平均を取る (rendering.rs:80-81)
+            direct = direct / num_light_samples
 
         # --- BSDF sample (rendering.rs:83-89) ---
         eta_s = bsdf_ops.eta_ratio(scene, hit.mat, hit.front_face, params=mp)
@@ -224,7 +262,9 @@ def _trace_nee_mis(scene, ray_o, ray_d, keys, max_bounces, use_mis):
             prefix=prefix,
             radiance=radiance,
             alive=cont,
-            rays=s.rays + 2 * jnp.sum(s.alive).astype(s.rays.dtype),  # shadow + peek
+            # num_light_samples shadow traces + 1 peek per alive lane
+            rays=s.rays + (num_light_samples + 1)
+            * jnp.sum(s.alive).astype(s.rays.dtype),
         )
 
     final = jax.lax.while_loop(cond, body, state)

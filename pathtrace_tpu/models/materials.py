@@ -101,5 +101,14 @@ def material_row(m: Material):
 
 def is_emissive(m: Material) -> bool:
     """Light auto-detection probe, mirroring the emit()>0 check
-    (world.rs:213-225)."""
-    return isinstance(m, Emissive) and any(c > 0.0 for c in m.emission)
+    (world.rs:213-225).
+
+    The predicate is ``dot(emission, emission) > 0`` — i.e. any *nonzero*
+    channel — to match the in-kernel emissive gate
+    (ops/pallas_shade.py ``emis``) and ``bsdf.is_emissive_params`` exactly.
+    For physical (non-negative) emissions this equals the reference's
+    ``any(c > 0)``; for unphysical negative channels all three predicates
+    now agree, so the single-light MIS fast path's row-0 assumption holds
+    for every scene the builder can produce.
+    """
+    return isinstance(m, Emissive) and any(c != 0.0 for c in m.emission)

@@ -34,6 +34,9 @@ class RenderConfig:
     max_bounces: int = 64       # hard cap; RR decay from 50 makes deeper negligible (rendering.rs:7)
     seed: int = 0
     samples_per_batch: int = 1  # samples traced per device dispatch
+    # NEE light samples per vertex (reference NUM_LIGHT_SAMPLES,
+    # rendering.rs:10; constant 1 upstream). Wave engine only.
+    num_light_samples: int = 1
     pixel_chunk: Optional[int] = None  # split the pixel wave to bound memory
     # Compute dtype for the whole estimator (None = keep the scene/camera
     # dtypes, i.e. float32). jnp.float64 reproduces the reference's native
@@ -98,7 +101,8 @@ def pixel_grid(width: int, height: int):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "integrator", "max_bounces", "samples_per_batch"),
+    static_argnames=("width", "height", "integrator", "max_bounces",
+                     "samples_per_batch", "num_light_samples"),
 )
 def render_batch(
     scene: Scene,
@@ -112,6 +116,7 @@ def render_batch(
     integrator: str,
     max_bounces: int,
     samples_per_batch: int,
+    num_light_samples: int = 1,
 ) -> jnp.ndarray:
     """Radiance **sum** over ``samples_per_batch`` samples for each pixel id.
 
@@ -129,7 +134,8 @@ def render_batch(
         # y-flip at raygen (world.rs:299).
         o, d = camera.generate_rays(px, height - 1 - py, jitter)
         radiance = trace_wave(
-            scene, o, d, keys, integrator=integrator, max_bounces=max_bounces
+            scene, o, d, keys, integrator=integrator, max_bounces=max_bounces,
+            num_light_samples=num_light_samples,
         )
         return acc + radiance
 
@@ -188,6 +194,7 @@ def render(
                 integrator=config.integrator,
                 max_bounces=config.max_bounces,
                 samples_per_batch=nbatch,
+                num_light_samples=config.num_light_samples,
             )
             image_sum = image_sum.at[chunk].add(part)
         done += nbatch

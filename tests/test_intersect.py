@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pathtrace_tpu.models.materials import Lambertian
 from pathtrace_tpu.models.scene import SceneBuilder
@@ -268,6 +269,7 @@ def test_resolve_auto_coherence_hints(monkeypatch):
     assert im.resolve_auto("auto", big, False) == "pallas"
 
 
+@pytest.mark.slow
 def test_bvh_method_matches_bruteforce():
     """Two-level union-sweep traversal (ops/bvh_intersect.py) must produce
     identical closest hits and occlusion as the bruteforce scan — same MT
@@ -307,6 +309,7 @@ def test_bvh_method_matches_bruteforce():
     np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
 
 
+@pytest.mark.slow
 def test_bvh_streamed_matches_resident_table():
     """The HBM-streamed BVH variant (one DMA per visited supergroup) must be
     bitwise-identical to the VMEM-resident-table form — same traversal, only
@@ -340,6 +343,7 @@ def test_bvh_streamed_matches_resident_table():
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
 
 
+@pytest.mark.slow
 def test_bvh_rows_layout_matches_cols():
     """The rows-layout streamed BVH ((T,16) table, no in-kernel transpose)
     must be bitwise-identical to the lane-transposed form."""
@@ -372,6 +376,7 @@ def test_bvh_rows_layout_matches_cols():
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
 
 
+@pytest.mark.slow
 def test_bvh_param_knobs_are_bitwise_equal():
     """PT_BVH_SUBW/GROUP/PRIM_TILE (trace-time tuning knobs threaded through
     intersect() via bvh_intersect.env_params) must not change results: the
@@ -409,6 +414,7 @@ def test_bvh_param_knobs_are_bitwise_equal():
         np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ))
 
 
+@pytest.mark.slow
 def test_bvh_counters_diagnostics():
     """counters=True returns per-subtile (rounds, leaf sweeps) without
     changing the hit results."""
