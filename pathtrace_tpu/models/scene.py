@@ -175,6 +175,14 @@ class Scene:
     has_pbr: bool = struct.field(pytree_node=False, default=False)
     has_oren_nayar: bool = struct.field(pytree_node=False, default=True)
     has_mirror: bool = struct.field(pytree_node=False, default=True)
+    # Static light-class flags (round 5): the megakernel's NEE sampler and
+    # MIS bsdf-side pdf evaluate BOTH the triangle (sqrt-warp area) and the
+    # sphere (cone) lanes per ray and where3-merge by is_tri. A scene whose
+    # lights are all one class skips the other lane at trace time — bitwise
+    # identical (the merge with an all-false/all-true predicate IS the kept
+    # lane). Defaults keep both lanes so hand-built Scenes stay correct.
+    has_tri_lights: bool = struct.field(pytree_node=False, default=True)
+    has_sph_lights: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def num_prims(self) -> int:
@@ -371,4 +379,6 @@ class SceneBuilder:
                 isinstance(m, (mat.OrenNayar, mat.PBRMaterial)) for m in mats
             ),
             has_mirror=any(isinstance(m, mat.Mirror) for m in mats),
+            has_tri_lights=any(pid < t_pad for pid in light_ids),
+            has_sph_lights=any(pid >= t_pad for pid in light_ids),
         )

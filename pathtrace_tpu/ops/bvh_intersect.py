@@ -84,7 +84,8 @@ def env_params() -> dict:
     so explicit keyword callers are unaffected."""
     out = {}
     for env, kw in (("PT_BVH_SUBW", "sub_w"), ("PT_BVH_GROUP", "group"),
-                    ("PT_BVH_PRIM_TILE", "prim_tile")):
+                    ("PT_BVH_PRIM_TILE", "prim_tile"),
+                    ("PT_BVH_LANEGATE", "lane_gate")):
         v = os.environ.get(env)
         if v:
             out[kw] = int(v)
@@ -252,7 +253,7 @@ def _stream_fetch(tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
 def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
                         tri_ref, t_ref, i_ref, n_ref, m_ref, *outs_scratch,
                         g_rows, group, prim_tile, sub_w, stream, rows_layout,
-                        counters=False):
+                        lane_gate, counters=False):
     if counters:
         # Diagnostic outputs (see triangle_closest_bvh(counters=True)):
         # per-subtile round and leaf-sweep totals, broadcast over the
@@ -304,47 +305,92 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
                 if counters:
                     rounds_ref[0:1, sl] = rounds_ref[0:1, sl] + 1
                 lb = laabb_ref[pl.ds(gstar * group, group), :]  # (group, 8)
-                le = _entries_from(lb, ox, oy, oz, dx, dy, dz, t_min, t_up)
+                # 128-lane half gating: the subtile's lanes split into
+                # vreg-width halves, each sweeping a leaf only if one of ITS
+                # lanes enters it — the union a half never enters is skipped
+                # (~35% of sweep lane-work on bounce waves,
+                # examples/bvh_order_probe.py). Bitwise-identical per lane:
+                # same leaves, same front-to-back order, disjoint lanes.
+                # Every half-width value derives from aligned ref reads —
+                # lane-offset slices of full-width values broadcast into
+                # (P, W) planes are an invalid Mosaic layout. The triangle
+                # block load/transpose is hoisted per leaf, shared by halves.
+                halves = []
+                for h in range(sub_w // lane_gate):
+                    hsl = slice(j * sub_w + h * lane_gate,
+                                j * sub_w + (h + 1) * lane_gate)
+                    rh = (o_ref[0:1, hsl], o_ref[1:2, hsl], o_ref[2:3, hsl],
+                          d_ref[0:1, hsl], d_ref[1:2, hsl], d_ref[2:3, hsl],
+                          tmin_ref[0:1, hsl], tup_ref[0:1, hsl])
+                    le = _entries_from(lb, *rh)
+                    halves.append((hsl, rh, le))
 
                 for k in range(group):                          # unrolled
-                    cur_best = t_ref[0:1, sl]
-                    t_hi = jnp.minimum(cur_best, t_up)
-                    gate = le[k:k + 1, :] < t_hi
+                    gates = []
+                    for hsl, rh, le in halves:
+                        cur_best = t_ref[0:1, hsl]
+                        t_hi = jnp.minimum(cur_best, rh[7])
+                        gates.append((le[k:k + 1, :] < t_hi, cur_best, t_hi))
+                    enter = jnp.any(gates[0][0])
+                    for g, _, _ in gates[1:]:
+                        enter = enter | jnp.any(g)
 
-                    @pl.when(jnp.any(gate))
+                    @pl.when(enter)
                     def _():
-                        if counters:
-                            sweeps_ref[0:1, sl] = sweeps_ref[0:1, sl] + 1
                         base = (gstar * group + k) * prim_tile
                         if stream and rows_layout:
-                            cols = gbuf[cur][k * prim_tile:(k + 1) * prim_tile, :]
+                            cols = gbuf[cur][
+                                k * prim_tile:(k + 1) * prim_tile, :
+                            ]
                         elif stream:
-                            cols = gbuf[cur][:, k * prim_tile:(k + 1) * prim_tile].T
+                            cols = gbuf[cur][
+                                :, k * prim_tile:(k + 1) * prim_tile
+                            ].T
                         else:
                             cols = tri_ref[:, pl.ds(base, prim_tile)].T
                         mt = _mt_columns(cols, anyhit=False)
-                        ts = _mt_ts(mt[:9], ox, oy, oz, dx, dy, dz,
-                                    t_min, t_hi, gate)
-                        tmin_tile = jnp.min(ts, axis=0, keepdims=True)
-                        argp = jnp.argmin(ts, axis=0).astype(jnp.int32)[None, :]
-                        better = tmin_tile < cur_best
-                        row_iota = jax.lax.broadcasted_iota(
-                            jnp.int32, ts.shape, 0
-                        )
-                        mask_f = ((row_iota == argp) & better).astype(ts.dtype)
-                        nxyz, matid = mt[9], mt[10]
-                        snx, sny, snz, sm = _select_winner(
-                            mask_f, (*nxyz, matid)
-                        )
-                        t_ref[0:1, sl] = jnp.where(better, tmin_tile, cur_best)
-                        i_ref[0:1, sl] = jnp.where(
-                            better, base + argp, i_ref[0:1, sl]
-                        )
-                        nrm = jnp.concatenate([snx, sny, snz], axis=0)
-                        n_ref[0:3, sl] = jnp.where(better, nrm, n_ref[0:3, sl])
-                        m_ref[0:1, sl] = jnp.where(
-                            better, sm, m_ref[0:1, sl].astype(ts.dtype)
-                        ).astype(jnp.int32)
+
+                        for (hsl, rh, le), (gate, cur_best, t_hi) in zip(
+                            halves, gates
+                        ):
+                            @pl.when(jnp.any(gate))
+                            def _():
+                                if counters:
+                                    sweeps_ref[0:1, hsl] = (
+                                        sweeps_ref[0:1, hsl] + 1
+                                    )
+                                ts = _mt_ts(mt[:9], rh[0], rh[1], rh[2],
+                                            rh[3], rh[4], rh[5], rh[6],
+                                            t_hi, gate)
+                                tmin_tile = jnp.min(ts, axis=0, keepdims=True)
+                                argp = jnp.argmin(ts, axis=0).astype(
+                                    jnp.int32
+                                )[None, :]
+                                better = tmin_tile < cur_best
+                                row_iota = jax.lax.broadcasted_iota(
+                                    jnp.int32, ts.shape, 0
+                                )
+                                mask_f = ((row_iota == argp) & better).astype(
+                                    ts.dtype
+                                )
+                                nxyz, matid = mt[9], mt[10]
+                                snx, sny, snz, sm = _select_winner(
+                                    mask_f, (*nxyz, matid)
+                                )
+                                t_ref[0:1, hsl] = jnp.where(
+                                    better, tmin_tile, cur_best
+                                )
+                                i_ref[0:1, hsl] = jnp.where(
+                                    better, base + argp, i_ref[0:1, hsl]
+                                )
+                                nrm = jnp.concatenate([snx, sny, snz], axis=0)
+                                n_ref[0:3, hsl] = jnp.where(
+                                    better, nrm, n_ref[0:3, hsl]
+                                )
+                                m_ref[0:1, hsl] = jnp.where(
+                                    better, sm,
+                                    m_ref[0:1, hsl].astype(ts.dtype)
+                                ).astype(jnp.int32)
 
                 iota_g = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
                 ge[:, sl] = jnp.where(iota_g == gstar, _INF, e)
@@ -365,7 +411,8 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
 
 def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
                        tri_ref, occ_ref, ge, *scratch,
-                       g_rows, group, prim_tile, sub_w, stream, rows_layout):
+                       g_rows, group, prim_tile, sub_w, stream, rows_layout,
+                       lane_gate):
     if stream:
         gbuf, dma_sem = scratch
     occ_ref[:, :] = jnp.zeros(occ_ref.shape, jnp.int32)
@@ -399,27 +446,53 @@ def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
             @pl.when(alive)
             def _():
                 lb = laabb_ref[pl.ds(gstar * group, group), :]
-                le = _entries_from(lb, ox, oy, oz, dx, dy, dz, t_min, t_max)
+                # 128-lane half gating (see the closest kernel; same aligned
+                # ref-read discipline — lane-offset slices don't lower).
+                halves = []
+                for h in range(sub_w // lane_gate):
+                    hsl = slice(j * sub_w + h * lane_gate,
+                                j * sub_w + (h + 1) * lane_gate)
+                    rh = (o_ref[0:1, hsl], o_ref[1:2, hsl], o_ref[2:3, hsl],
+                          d_ref[0:1, hsl], d_ref[1:2, hsl], d_ref[2:3, hsl],
+                          tmin_ref[0:1, hsl], tmax_ref[0:1, hsl])
+                    le = _entries_from(lb, *rh)
+                    halves.append((hsl, rh, le))
 
                 for k in range(group):                          # unrolled
-                    gate = (occ_ref[0:1, sl] == 0) & (le[k:k + 1, :] < t_max)
+                    gates = []
+                    for hsl, rh, le in halves:
+                        gates.append(
+                            (occ_ref[0:1, hsl] == 0) & (le[k:k + 1, :] < rh[7])
+                        )
+                    enter = jnp.any(gates[0])
+                    for g in gates[1:]:
+                        enter = enter | jnp.any(g)
 
-                    @pl.when(jnp.any(gate))
+                    @pl.when(enter)
                     def _():
                         base = (gstar * group + k) * prim_tile
                         if stream and rows_layout:
-                            cols = gbuf[cur][k * prim_tile:(k + 1) * prim_tile, :]
+                            cols = gbuf[cur][
+                                k * prim_tile:(k + 1) * prim_tile, :
+                            ]
                         elif stream:
-                            cols = gbuf[cur][:, k * prim_tile:(k + 1) * prim_tile].T
+                            cols = gbuf[cur][
+                                :, k * prim_tile:(k + 1) * prim_tile
+                            ].T
                         else:
                             cols = tri_ref[:, pl.ds(base, prim_tile)].T
                         mt = _mt_columns(cols, anyhit=True)
-                        ts = _mt_ts(mt[:9], ox, oy, oz, dx, dy, dz,
-                                    t_min, t_max, gate)
-                        hit = jnp.any(ts < _INF, axis=0, keepdims=True)
-                        occ_ref[0:1, sl] = (
-                            occ_ref[0:1, sl] | hit.astype(jnp.int32)
-                        )
+
+                        for (hsl, rh, le), gate in zip(halves, gates):
+                            @pl.when(jnp.any(gate))
+                            def _():
+                                ts = _mt_ts(mt[:9], rh[0], rh[1], rh[2],
+                                            rh[3], rh[4], rh[5], rh[6],
+                                            rh[7], gate)
+                                hit = jnp.any(ts < _INF, axis=0, keepdims=True)
+                                occ_ref[0:1, hsl] = (
+                                    occ_ref[0:1, hsl] | hit.astype(jnp.int32)
+                                )
 
                 iota_g = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
                 ge[:, sl] = jnp.where(iota_g == gstar, _INF, e)
@@ -493,13 +566,13 @@ def _resolve_stream(stream, t_rows, dtype):
     jax.jit,
     static_argnames=(
         "interpret", "prim_tile", "group", "sub_w", "ray_tile", "stream",
-        "layout", "counters",
+        "layout", "counters", "lane_gate",
     ),
 )
 def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
                          interpret=False, prim_tile=PRIM_TILE, group=GROUP,
                          sub_w=SUB_W, ray_tile=RAY_TILE, stream=None,
-                         layout="cols", counters=False):
+                         layout="cols", counters=False, lane_gate=0):
     """Closest triangle hit via the two-level union-sweep traversal.
 
     Same return contract as pallas_intersect.triangle_closest:
@@ -566,7 +639,9 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
     res = pl.pallas_call(
         functools.partial(_bvh_closest_kernel, g_rows=g_pad, group=group,
                           prim_tile=prim_tile, sub_w=sub_w, stream=stream,
-                          rows_layout=layout == "rows", counters=counters),
+                          rows_layout=layout == "rows",
+                          lane_gate=min(lane_gate or sub_w, sub_w),
+                          counters=counters),
         grid=grid,
         in_specs=[
             spec(3), spec(3), spec(1), spec(1),
@@ -582,9 +657,13 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
     t, i, nrm, m = res[:4]
     if counters:
         # Per-subtile diagnostics, one value per sub_w span of the padded
-        # wave: (rounds, leaf sweeps). Lanes within a span share the value.
+        # wave: (rounds, half-gated leaf sweeps — the sum of the subtile's
+        # per-lane_gate-half sweep counts, i.e. lane-work units of
+        # lane_gate x prim_tile MT tests).
+        lg = min(lane_gate or sub_w, sub_w)
+        sw = res[5][0, ::lg].reshape(-1, sub_w // lg).sum(axis=1)
         return (t[0, :n], i[0, :n], nrm[:, :n].T, m[0, :n],
-                res[4][0, ::sub_w], res[5][0, ::sub_w])
+                res[4][0, ::sub_w], sw)
     return t[0, :n], i[0, :n], nrm[:, :n].T, m[0, :n]
 
 
@@ -592,12 +671,13 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
     jax.jit,
     static_argnames=(
         "interpret", "prim_tile", "group", "sub_w", "ray_tile", "stream",
-        "layout",
+        "layout", "lane_gate",
     ),
 )
 def triangle_anyhit_bvh(o, d, t_min, t_max, v0, e1, e2, interpret=False,
                         prim_tile=PRIM_TILE, group=GROUP, sub_w=SUB_W,
-                        ray_tile=RAY_TILE, stream=None, layout="cols"):
+                        ray_tile=RAY_TILE, stream=None, layout="cols",
+                        lane_gate=0):
     """Occlusion against the triangle soup, two-level union-sweep traversal.
     Returns a bool (N,) mask; near-first group order settles lanes fastest.
     ``stream`` as in :func:`triangle_closest_bvh`."""
@@ -641,7 +721,8 @@ def triangle_anyhit_bvh(o, d, t_min, t_max, v0, e1, e2, interpret=False,
     occ = pl.pallas_call(
         functools.partial(_bvh_anyhit_kernel, g_rows=g_pad, group=group,
                           prim_tile=prim_tile, sub_w=sub_w, stream=stream,
-                          rows_layout=layout == "rows"),
+                          rows_layout=layout == "rows",
+                          lane_gate=min(lane_gate or sub_w, sub_w)),
         grid=grid,
         in_specs=[
             spec(3), spec(3), spec(1), spec(1),

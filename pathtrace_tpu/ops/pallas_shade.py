@@ -38,6 +38,7 @@ Layout: rays on the 128-wide lane axis as everywhere else; 3-vectors are
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -537,7 +538,7 @@ def _fused_bounce_kernel(
     busy_ref, bounce_ref, o_ref, d_ref, eta_ref, pdfp_ref, pfx_ref, u_ref,
     sph_ref, tri_ref, lgt_ref, *refs,
     num_tris, num_lights, max_bounces, use_mis, use_nee, has_mirror,
-    has_on, has_pbr,
+    has_on, has_pbr, has_tri_l, has_sph_l,
     eps, rr_min_depth, rr_max_depth, fuse_shadow, sections, use_quad,
     fuse_raygen,
 ):
@@ -765,27 +766,37 @@ def _fused_bounce_kernel(
             l_rad = lsel[_LC_RAD]
             l_n = (lsel[_LC_N], lsel[_LC_N + 1], lsel[_LC_N + 2])
             l_area = lsel[_LC_AREA]
-            # Triangle lane: area→solid-angle pdf toward the known hit point
-            # (shape.rs:228-239; two-sided emitters).
-            to_l = _sub3(point, o3)
-            dist_l = jnp.sqrt(_dot3(to_l, to_l))
-            safe_dl = jnp.where(dist_l > 0.0, dist_l, 1.0)
-            ldir_l = (to_l[0] / safe_dl, to_l[1] / safe_dl, to_l[2] / safe_dl)
-            cos_light = jnp.abs(_dot3(l_n, _neg3(ldir_l)))
-            pdf_area = 1.0 / jnp.maximum(l_area, 1e-20)
-            pdf_tri = jnp.where(
-                cos_light > 1e-8,
-                pdf_area * (dist_l * dist_l) / jnp.maximum(cos_light, 1e-8),
-                1e-8,
-            )
-            # Sphere lane: constant cone pdf (shape.rs:91-145).
-            to_c = _sub3(lpv, o3)
-            dist_sq = _dot3(to_c, to_c)
-            sin2_max = (l_rad * l_rad) / jnp.where(dist_sq > 0.0, dist_sq, 1.0)
-            cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
-            solid = 2.0 * _PI * (1.0 - cos_max)
-            pdf_sph = 1.0 / jnp.maximum(solid, 1e-12)
-            pdf_shape = jnp.where(l_is_tri, pdf_tri, pdf_sph)
+            # Light-class lanes are statically gated (Scene.has_tri_lights /
+            # has_sph_lights): with a single light class the where-merge IS
+            # the kept lane, so skipping the other is bitwise-identical.
+            if has_tri_l:
+                # Triangle lane: area→solid-angle pdf toward the known hit
+                # point (shape.rs:228-239; two-sided emitters).
+                to_l = _sub3(point, o3)
+                dist_l = jnp.sqrt(_dot3(to_l, to_l))
+                safe_dl = jnp.where(dist_l > 0.0, dist_l, 1.0)
+                ldir_l = (to_l[0] / safe_dl, to_l[1] / safe_dl, to_l[2] / safe_dl)
+                cos_light = jnp.abs(_dot3(l_n, _neg3(ldir_l)))
+                pdf_area = 1.0 / jnp.maximum(l_area, 1e-20)
+                pdf_tri = jnp.where(
+                    cos_light > 1e-8,
+                    pdf_area * (dist_l * dist_l) / jnp.maximum(cos_light, 1e-8),
+                    1e-8,
+                )
+            if has_sph_l:
+                # Sphere lane: constant cone pdf (shape.rs:91-145).
+                to_c = _sub3(lpv, o3)
+                dist_sq = _dot3(to_c, to_c)
+                sin2_max = (l_rad * l_rad) / jnp.where(dist_sq > 0.0, dist_sq, 1.0)
+                cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+                solid = 2.0 * _PI * (1.0 - cos_max)
+                pdf_sph = 1.0 / jnp.maximum(solid, 1e-12)
+            if has_tri_l and has_sph_l:
+                pdf_shape = jnp.where(l_is_tri, pdf_tri, pdf_sph)
+            elif has_tri_l:
+                pdf_shape = pdf_tri
+            else:
+                pdf_shape = pdf_sph
             w_bsdf = pdf_prev / (pdf_prev + pdf_shape)
         else:
             w_bsdf = jnp.zeros_like(pdf_prev)
@@ -831,45 +842,56 @@ def _fused_bounce_kernel(
         p_area = psel[_LC_AREA]
         p_emi = (psel[_LC_EMI], psel[_LC_EMI + 1], psel[_LC_EMI + 2])
 
-        # Triangle lane: sqrt-warp area sample (shape.rs:210-219).
-        sqrt_r1 = jnp.sqrt(u1)
-        wu = 1.0 - sqrt_r1
-        wv = u2 * sqrt_r1
-        lp_tri = _add3(_add3(p_p, _scale3(p_e1, wu)), _scale3(p_e2, wv))
+        # Light-class lanes statically gated (Scene.has_tri_lights /
+        # has_sph_lights) — single-class scenes skip the other lane's math
+        # entirely; the where-merge with a uniform predicate IS that lane.
+        if has_tri_l:
+            # Triangle lane: sqrt-warp area sample (shape.rs:210-219).
+            sqrt_r1 = jnp.sqrt(u1)
+            wu = 1.0 - sqrt_r1
+            wv = u2 * sqrt_r1
+            lp_tri = _add3(_add3(p_p, _scale3(p_e1, wu)), _scale3(p_e2, wv))
 
-        # Sphere lane: uniform cone direction, re-intersected (shape.rs:91-145).
-        to_c = _sub3(p_p, point)
-        dist_sq = _dot3(to_c, to_c)
-        sin2_max = (p_rad * p_rad) / jnp.where(dist_sq > 0.0, dist_sq, 1.0)
-        cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
-        solid = 2.0 * _PI * (1.0 - cos_max)
-        pdf_sph = 1.0 / jnp.maximum(solid, 1e-12)
-        cth = 1.0 - u1 + u1 * cos_max
-        sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
-        phi = 2.0 * _PI * u2
-        wdir = _normalize3(to_c)
-        wy_big = jnp.abs(wdir[1]) > 0.999
-        onec = jnp.ones_like(wdir[0])
-        zeroc = jnp.zeros_like(wdir[0])
-        upv = (jnp.where(wy_big, onec, zeroc), jnp.where(wy_big, zeroc, onec), zeroc)
-        uax = _normalize3(_cross3(upv, wdir))
-        vax = _cross3(wdir, uax)
-        cone = _normalize3(
-            _add3(
-                _add3(_scale3(uax, sth * jnp.cos(phi)), _scale3(vax, sth * jnp.sin(phi))),
-                _scale3(wdir, cth),
+        if has_sph_l:
+            # Sphere lane: uniform cone direction, re-intersected
+            # (shape.rs:91-145).
+            to_c = _sub3(p_p, point)
+            dist_sq = _dot3(to_c, to_c)
+            sin2_max = (p_rad * p_rad) / jnp.where(dist_sq > 0.0, dist_sq, 1.0)
+            cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+            solid = 2.0 * _PI * (1.0 - cos_max)
+            pdf_sph = 1.0 / jnp.maximum(solid, 1e-12)
+            cth = 1.0 - u1 + u1 * cos_max
+            sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+            phi = 2.0 * _PI * u2
+            wdir = _normalize3(to_c)
+            wy_big = jnp.abs(wdir[1]) > 0.999
+            onec = jnp.ones_like(wdir[0])
+            zeroc = jnp.zeros_like(wdir[0])
+            upv = (jnp.where(wy_big, onec, zeroc), jnp.where(wy_big, zeroc, onec), zeroc)
+            uax = _normalize3(_cross3(upv, wdir))
+            vax = _cross3(wdir, uax)
+            cone = _normalize3(
+                _add3(
+                    _add3(_scale3(uax, sth * jnp.cos(phi)), _scale3(vax, sth * jnp.sin(phi))),
+                    _scale3(wdir, cth),
+                )
             )
-        )
-        ocv = _sub3(point, p_p)
-        a_q = _dot3(cone, cone)
-        hb_q = _dot3(ocv, cone)
-        c_q = _dot3(ocv, ocv) - p_rad * p_rad
-        disc_q = hb_q * hb_q - a_q * c_q
-        t_q = (-hb_q - jnp.sqrt(jnp.maximum(disc_q, 0.0))) / a_q
-        lp_sph = _add3(point, _scale3(cone, t_q))
+            ocv = _sub3(point, p_p)
+            a_q = _dot3(cone, cone)
+            hb_q = _dot3(ocv, cone)
+            c_q = _dot3(ocv, ocv) - p_rad * p_rad
+            disc_q = hb_q * hb_q - a_q * c_q
+            t_q = (-hb_q - jnp.sqrt(jnp.maximum(disc_q, 0.0))) / a_q
+            lp_sph = _add3(point, _scale3(cone, t_q))
 
-        lpoint = _where3(p_is_tri, lp_tri, lp_sph)
-        lnorm = _where3(p_is_tri, p_n, _normalize3(_sub3(lp_sph, p_p)))
+        if has_tri_l and has_sph_l:
+            lpoint = _where3(p_is_tri, lp_tri, lp_sph)
+            lnorm = _where3(p_is_tri, p_n, _normalize3(_sub3(lp_sph, p_p)))
+        elif has_tri_l:
+            lpoint, lnorm = lp_tri, p_n
+        else:
+            lpoint, lnorm = lp_sph, _normalize3(_sub3(lp_sph, p_p))
 
         to_light = _sub3(lpoint, point)
         ldist = jnp.sqrt(_dot3(to_light, to_light))
@@ -878,14 +900,20 @@ def _fused_bounce_kernel(
             to_light[0] / safe_ld, to_light[1] / safe_ld, to_light[2] / safe_ld
         )
 
-        cos_li = jnp.abs(_dot3(lnorm, _neg3(ldir)))
-        pdf_area = 1.0 / jnp.maximum(p_area, 1e-20)
-        pdf_tri = jnp.where(
-            cos_li > 1e-8,
-            pdf_area * (ldist * ldist) / jnp.maximum(cos_li, 1e-8),
-            1e-8,
-        )
-        ls_pdf = jnp.where(p_is_tri, pdf_tri, pdf_sph) / num_lights
+        if has_tri_l:
+            cos_li = jnp.abs(_dot3(lnorm, _neg3(ldir)))
+            pdf_area = 1.0 / jnp.maximum(p_area, 1e-20)
+            pdf_tri = jnp.where(
+                cos_li > 1e-8,
+                pdf_area * (ldist * ldist) / jnp.maximum(cos_li, 1e-8),
+                1e-8,
+            )
+        if has_tri_l and has_sph_l:
+            ls_pdf = jnp.where(p_is_tri, pdf_tri, pdf_sph) / num_lights
+        elif has_tri_l:
+            ls_pdf = pdf_tri / num_lights
+        else:
+            ls_pdf = pdf_sph / num_lights
 
         # Shadow any-hit sweep over both classes, t in [eps, dist - eps]
         # (rendering.rs:62-65). Same hit criteria as the closest sweeps.
@@ -1320,7 +1348,7 @@ class BounceResult(NamedTuple):
     static_argnames=(
         "num_tris", "num_lights", "integrator", "max_bounces", "eps",
         "interpret", "ray_tile", "fuse_shadow", "transposed", "sections",
-        "has_on", "has_pbr",
+        "has_on", "has_pbr", "has_tri_lights", "has_sph_lights",
     ),
 )
 def fused_bounce(
@@ -1339,6 +1367,8 @@ def fused_bounce(
     raygen=None,
     has_on: bool = False,
     has_pbr: bool = False,
+    has_tri_lights: bool = True,
+    has_sph_lights: bool = True,
     sections: frozenset = frozenset({"emis", "nee", "neeeval", "shadow", "sample"}),
 ) -> BounceResult:
     """One full path-vertex step for a wave (see module docstring).
@@ -1363,7 +1393,6 @@ def fused_bounce(
     if ray_tile is None:
         # PT_FUSED_RAY_TILE overrides at trace time (profiling only; see the
         # RAY_TILE note for the measured tile-width negative result).
-        import os as _os
         ray_tile = int(_os.environ.get("PT_FUSED_RAY_TILE", "0")) or RAY_TILE
     if transposed:
         # Caller keeps the whole pool state in kernel layout — (k, S) rows,
@@ -1454,6 +1483,14 @@ def fused_bounce(
             has_mirror=has_mirror,
             has_on=has_on,
             has_pbr=has_pbr,
+            # Inconsistent caller flags (both False with lights present)
+            # degrade to both lanes on — correctness over the trim.
+            # PT_NO_LIGHTGATE=1 keeps both lanes for A/B attribution
+            # (trace-time, like PT_NO_MXU_QUAD).
+            has_tri_l=(has_tri_lights or not has_sph_lights
+                       or bool(_os.environ.get("PT_NO_LIGHTGATE"))),
+            has_sph_l=(has_sph_lights or not has_tri_lights
+                       or bool(_os.environ.get("PT_NO_LIGHTGATE"))),
             eps=eps,
             rr_min_depth=4,
             rr_max_depth=50,

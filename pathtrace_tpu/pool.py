@@ -468,6 +468,8 @@ def _pool_loop(
                 eps=EPS,
                 has_on=scene.has_oren_nayar,
                 has_pbr=scene.has_pbr,
+                has_tri_lights=scene.has_tri_lights,
+                has_sph_lights=scene.has_sph_lights,
                 transposed=True,
                 interpret=method == "pallas_interpret",
                 raygen=(

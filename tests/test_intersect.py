@@ -404,7 +404,8 @@ def test_bvh_param_knobs_are_bitwise_equal():
     occ_ref = bv.triangle_anyhit_bvh(o, d, 1e-3, 8.0, v0, e1, e2,
                                      interpret=True)
     for kw in ({"sub_w": 128}, {"group": 8}, {"prim_tile": 256},
-               {"sub_w": 512, "group": 32}):
+               {"sub_w": 512, "group": 32}, {"lane_gate": 256},
+               {"lane_gate": 0}):
         got = bv.triangle_closest_bvh(o, d, 1e-3, jnp.inf, v0, e1, e2, nrm,
                                       mat, interpret=True, **kw)
         for a, b in zip(ref, got):
