@@ -77,9 +77,13 @@ def main():
     d_s = d_s / jnp.linalg.norm(d_s, axis=1, keepdims=True)
     jax.block_until_ready((hp, d_b, d_s))
 
-    for gate in ("off", "128"):
-        _os.environ["PT_BVH_LANEGATE"] = "0" if gate == "off" else gate
-        tag = f"lane_gate={gate}"
+    # A/B axis: env knob name from argv (default the round-5 MXU MT dot),
+    # e.g.  python examples/bench_bvh_kernel.py PT_BVH_LANEGATE 0 128
+    knob = _sys.argv[1] if len(_sys.argv) > 1 else "PT_BVH_MXU"
+    vals = _sys.argv[2:] if len(_sys.argv) > 2 else ["0", "1"]
+    for val in vals:
+        _os.environ[knob] = val
+        tag = f"{knob.replace('PT_BVH_', '').lower()}={val}"
         timeit(f"closest primary {tag}",
                lambda o, d: intersect(scene, o, d, 1e-3, jnp.inf, method="bvh"),
                o_p, d_p)

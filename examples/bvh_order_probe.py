@@ -229,6 +229,27 @@ def main():
               "first-6 leaf ids", G)
         score(np.lexsort(tuple(reversed(f4))), ent, C, "first-4 (no tiebreak)", G)
 
+        # Group-level variants: everything below needs only the (G, N)
+        # slab pass the production key already pays (16x cheaper than the
+        # leaf-level (C, N) pass the keys above require).
+        gent3 = gent2.copy()
+        gent3[np.minimum(g2, G - 1), np.arange(N)] = np.inf
+        g3 = np.argmin(gent3, axis=0)
+        g3 = np.where(np.isfinite(gent3.min(axis=0)), g3, G)
+        gent4 = gent3.copy()
+        gent4[np.minimum(g3, G - 1), np.arange(N)] = np.inf
+        g4 = np.argmin(gent4, axis=0)
+        g4 = np.where(np.isfinite(gent4.min(axis=0)), g4, G)
+        score(np.lexsort((blk, octant, g4, g3, g2, g1)), ent, C,
+              "g1..g4 chain (entry order)", G)
+        gf4 = first_k(mask, 4)
+        score(np.lexsort((blk, octant) + tuple(reversed(gf4))), ent, C,
+              "group first-4 (id order)", G)
+        score(np.lexsort((blk, octant, mask_key)), ent, C,
+              "group-mask lex", G)
+        score(np.lexsort((blk, octant, g2, g1, mask_key)), ent, C,
+              "group-mask lex, g1,g2 major", G)
+
 
 if __name__ == "__main__":
     main()

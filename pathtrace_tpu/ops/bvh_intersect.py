@@ -58,6 +58,7 @@ from .pallas_intersect import (
     _pad_rows,
     _select_winner,
 )
+from .pallas_shade import _bf16_split3, _trunc_split3
 from .resident_intersect import (
     _TAB_ROWS,
     _derived_aabbs,
@@ -76,6 +77,38 @@ GROUP = 16         # leaves per supergroup
 # Packed +inf with the id bits stripped (see _packed_group_key).
 _EXHAUSTED = 0x7F800000
 
+# --- MXU Möller–Trumbore (round 5) -----------------------------------------
+# All four MT determinants are LINEAR in a 10-feature per-lane vector once
+# the per-triangle constants are precomputed (Plücker-style): with
+# group-local o' = o - g and w' = o' × d,
+#   a    = det[e1, d, e2]      =  (e2 × e1) · d
+#   s·h  = (o'-v0')·(d × e2)   =  e2 · w' − (e2 × v0') · d
+#   d·q  = d·((o'-v0') × e1)   = −e1 · w' + (e1 × v0') · d
+#   e2·q = (o'-v0')·(e1 × e2)  =  Ne · o' − Ne·v0'          (Ne = e1 × e2)
+# so one (3P, MT_K) @ (MT_K, W) dot per leaf replaces the ~49-op/(pair) VPU
+# chain of _mt_ts with ~14 VPU ops (reciprocal, three muls, the accept
+# compares) — the determinant math rides the otherwise-idle MXU. f32-grade
+# accuracy via the 6-block bf16 split scheme proven on the sphere quadratic
+# tables (pallas_shade._sphere_quad_tables); the recentering keeps the e2·q
+# cancellation error at leaf-local scale. Validated offline on the 70k knot
+# (examples/mt_mxu_probe.py): acceptance flips vs the VPU f32 chain ~1e-7 of
+# pairs, hit-t agreement to ~1e-6 relative — the documented knife-edge
+# determinism contract (docs/ARCHITECTURE.md), same as the sphere sweep.
+MT_FEATS = 10
+# Contraction width: 6 * MT_FEATS = 60, padded to the 128-lane tile (Mosaic
+# rejects 64-lane DMA slices: "slice shape along dimension 1 must be aligned
+# to tiling (128)"). The K padding waste is structural; the table stays lean
+# by carrying only THREE determinant planes [s·h | d·q | e2·q] — `a` is a
+# 5-op VPU dot against a packed (e2 × e1) column (rows 13:16 of the closest
+# table / the ne table for any-hit), which cuts the coefficient DMA and the
+# dot M by 25% at zero accuracy cost.
+MT_K = 128
+# Dot contraction width: the dot only needs the 60 live columns; when 64,
+# the kernels slice the loaded 128-lane block to [0:64] so the MXU dot runs
+# half the K tiles (the table/DMA stays 128-wide for slice alignment).
+# Import-time env knob for A/B.
+MT_KD = int(os.environ.get("PT_BVH_MTKD", "128"))
+
 
 def env_params() -> dict:
     """Trace-time tuning knobs for in-pool A/B sweeps (the pool call sites in
@@ -89,6 +122,9 @@ def env_params() -> dict:
         v = os.environ.get(env)
         if v:
             out[kw] = int(v)
+    v = os.environ.get("PT_BVH_MXU")
+    if v is not None:
+        out["mxu"] = bool(int(v))
     return out
 
 
@@ -192,30 +228,41 @@ def _packed_group_key(e_live, g_rows):
     return (eb & ~idmask) | ids, idmask
 
 
-def _stream_dma(tri_ref, gbuf, dma_sem, gid, buf, gsz, rows_layout):
-    """Descriptor for supergroup ``gid``'s block into buffer ``buf``
-    (reconstructed identically for start and wait, double-buffer pattern).
-    Block shape: (16, gsz) in the lane-transposed layout, (gsz, 16) in the
-    rows layout (triangles on the sublane axis — leaf slices then need no
-    in-kernel transpose; HBM-only, since VMEM would lane-pad 16 -> 128)."""
-    src = (
-        tri_ref.at[pl.ds(gid * gsz, gsz), :]
-        if rows_layout
-        else tri_ref.at[:, pl.ds(gid * gsz, gsz)]
-    )
-    return pltpu.make_async_copy(src, gbuf.at[buf], dma_sem.at[buf])
+def _stream_dma(tabs, gid, buf):
+    """Copy descriptors for supergroup ``gid``'s block of every streamed
+    table into buffer ``buf`` (reconstructed identically for start and wait,
+    double-buffer pattern). Each entry of ``tabs`` is ``(src_ref, scratch,
+    sem, axis, rows_per_group)``: axis 1 slices the lane axis (the
+    lane-transposed (16, T) layout), axis 0 the sublane axis ((T, 16) rows
+    layout / the (4T, MT_K) MXU coefficient table)."""
+    cps = []
+    for src, dst, sem, axis, rpg in tabs:
+        sl = pl.ds(gid * rpg, rpg)
+        s = src.at[sl, :] if axis == 0 else src.at[:, sl]
+        cps.append(pltpu.make_async_copy(s, dst.at[buf], sem.at[buf]))
+    return cps
 
 
-def _stream_fetch(tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
-                  pbuf, gsz, rows_layout):
-    """Stream-mode fetch of ``gstar``'s block with next-group prefetch.
+def _stream_start(tabs, gid, buf):
+    for cp in _stream_dma(tabs, gid, buf):
+        cp.start()
+
+
+def _stream_wait(tabs, gid, buf):
+    for cp in _stream_dma(tabs, gid, buf):
+        cp.wait()
+
+
+def _stream_fetch(tabs, gstar, keys, idmask, alive, pf, pbuf):
+    """Stream-mode fetch of ``gstar``'s block(s) with next-group prefetch.
 
     The prefetch candidate is the second-nearest entered group (second
     min of the packed keys) — the true next visit unless this round's sweep
     bounds it out, in which case the DMA is wasted but never wrong. Returns
     ``(cur, new_pf, new_pbuf)``: the buffer holding gstar's block and the
     carried prefetch state ((group id or -1, buffer)); the caller drains any
-    outstanding prefetch after the round loop exits.
+    outstanding prefetch after the round loop exits. All streamed tables
+    move together (one buffer index, one prefetch decision).
     """
     hitp = pf == gstar
     cur = jnp.where(hitp, pbuf, jnp.where(pf >= 0, pbuf ^ 1, 0))
@@ -227,33 +274,124 @@ def _stream_fetch(tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
 
     @pl.when(alive & hitp)
     def _():
-        _stream_dma(tri_ref, gbuf, dma_sem, gstar, cur, gsz,
-                    rows_layout).wait()
+        _stream_wait(tabs, gstar, cur)
 
     @pl.when(alive & ~hitp)
     def _():
         @pl.when(pf >= 0)
         def _():  # drain the mispredicted prefetch before reusing state
-            _stream_dma(tri_ref, gbuf, dma_sem, pf, pbuf, gsz,
-                        rows_layout).wait()
-        cp = _stream_dma(tri_ref, gbuf, dma_sem, gstar, cur, gsz, rows_layout)
-        cp.start()
-        cp.wait()
+            _stream_wait(tabs, pf, pbuf)
+        _stream_start(tabs, gstar, cur)
+        _stream_wait(tabs, gstar, cur)
 
     @pl.when(alive & have_next)
     def _():
-        _stream_dma(tri_ref, gbuf, dma_sem, gnext, cur ^ 1, gsz,
-                    rows_layout).start()
+        _stream_start(tabs, gnext, cur ^ 1)
 
     new_pf = jnp.where(alive, jnp.where(have_next, gnext, jnp.int32(-1)), pf)
     new_pbuf = jnp.where(alive & have_next, cur ^ 1, pbuf)
     return cur, new_pf, new_pbuf
 
 
+def _mt_coeff_table(v0, e1, e2, t_rows, prim_tile, group, dtype):
+    """MXU Möller–Trumbore coefficient table + supergroup centroid table.
+
+    Returns ``(coef (3*t_rows, MT_K) bf16, gcent (G_pad8, 8) f32)``. Leaf
+    ``l`` occupies coef rows ``[l*3*P, (l+1)*3*P)`` as three P-row planes
+    [s·h | d·q | e2·q] whose columns are the 6-block bf16 split of the
+    10 per-triangle coefficients (see the MT_FEATS comment at the top);
+    ``a`` stays on the VPU from the packed e2×e1 column.
+    v0 is recentered on its supergroup's AABB midpoint — the same
+    cancellation-control trick as the sphere quad tables — and ``gcent``
+    carries those midpoints for the kernel's matching feature recenter.
+    Padding triangles are all-zero so a == 0 rejects them via |a| < 1e-8,
+    exactly like the VPU table's zero columns."""
+    n_tris = v0.shape[0]
+    v0p = _pad_rows(v0, t_rows)
+    e1p = _pad_rows(e1, t_rows)
+    e2p = _pad_rows(e2, t_rows)
+    gsz = group * prim_tile
+    ng = t_rows // gsz
+    p1 = v0p + e1p
+    p2 = v0p + e2p
+    valid = (jnp.arange(t_rows) < n_tris)[:, None]
+    lo = jnp.where(valid, jnp.minimum(jnp.minimum(v0p, p1), p2), _INF)
+    hi = jnp.where(valid, jnp.maximum(jnp.maximum(v0p, p1), p2), -_INF)
+    glo = lo.reshape(ng, gsz, 3).min(axis=1)
+    ghi = hi.reshape(ng, gsz, 3).max(axis=1)
+    g = jnp.where(glo[:, 0:1] <= ghi[:, 0:1], 0.5 * (glo + ghi), 0.0)
+    v0l = v0p - jnp.repeat(g, gsz, axis=0)
+    ne = jnp.cross(e1p, e2p)
+    z3 = jnp.zeros_like(ne)
+    z1 = jnp.zeros((t_rows, 1), v0p.dtype)
+    planes = [
+        jnp.concatenate([-jnp.cross(e2p, v0l), e2p, z3, z1], axis=1),
+        jnp.concatenate([jnp.cross(e1p, v0l), -e1p, z3, z1], axis=1),
+        jnp.concatenate(
+            [z3, z3, ne, -jnp.sum(ne * v0l, axis=1, keepdims=True)], axis=1
+        ),
+    ]
+    coef = jnp.stack(planes, axis=0).astype(dtype)     # (3, t_rows, F)
+    n_leaves = t_rows // prim_tile
+    coef = coef.reshape(3, n_leaves, prim_tile, MT_FEATS).transpose(1, 0, 2, 3)
+    coef = coef.reshape(3 * t_rows, MT_FEATS)
+    # _trunc_split3, not the cast split: XLA folds f32->bf16->f32 round trips
+    # when the table build is traced into the consumer jit (measured round-3
+    # hazard, pallas_shade._trunc_split3 docstring).
+    s0, s1, s2 = _trunc_split3(coef)
+    ck = jnp.concatenate([s0, s0, s0, s1, s1, s2], axis=1)     # (4t, 6F)
+    ck = jnp.pad(ck, [(0, 0), (0, MT_K - ck.shape[1])]).astype(jnp.bfloat16)
+    g_pad = max(8, _cdiv(ng, 8) * 8)
+    gcent = _pad_rows(
+        jnp.concatenate([g, jnp.zeros((ng, 5), v0p.dtype)], axis=1), g_pad
+    )
+    return ck, gcent
+
+
+def _mt_features(ox, oy, oz, dx, dy, dz, gcx, gcy, gcz):
+    """(MT_KD, W) bf16 split-block feature stack for the MXU MT dot: built
+    once per round, amortized over the supergroup's entered-leaf sweeps."""
+    oxc, oyc, ozc = ox - gcx, oy - gcy, oz - gcz
+    wx = oyc * dz - ozc * dy
+    wy = ozc * dx - oxc * dz
+    wz = oxc * dy - oyc * dx
+    one = jnp.ones_like(ox)
+    phi = jnp.concatenate(
+        [dx, dy, dz, wx, wy, wz, oxc, oyc, ozc, one], axis=0
+    )                                                   # (MT_FEATS, W)
+    p0, p1, p2 = _bf16_split3(phi)
+    zpad = jnp.zeros((MT_KD - 6 * MT_FEATS, ox.shape[1]), ox.dtype)
+    return jnp.concatenate(
+        [p0, p1, p2, p0, p1, p0, zpad], axis=0
+    ).astype(jnp.bfloat16)
+
+
+def _mt_ts_mxu(a, outq, prim_tile, t_min, t_hi, gate):
+    """Accept chain over one leaf's (3P, W) MXU determinant planes plus the
+    VPU-computed ``a``; same epsilons and comparison order as _mt_ts
+    (shape.rs:161-198)."""
+    p = prim_tile
+    f = 1.0 / a
+    u = f * outq[0:p]
+    v = f * outq[p : 2 * p]
+    t = f * outq[2 * p : 3 * p]
+    ok = (
+        (jnp.abs(a) >= 1e-8)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= t_min) & (t <= t_hi)
+        & gate
+    )
+    return jnp.where(ok, t, _INF)
+
+
 def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
-                        tri_ref, t_ref, i_ref, n_ref, m_ref, *outs_scratch,
-                        g_rows, group, prim_tile, sub_w, stream, rows_layout,
-                        lane_gate, counters=False):
+                        tri_ref, *refs,
+                        g_rows, group, prim_tile, sub_w, stream, streamc,
+                        rows_layout, lane_gate, mxu, counters=False):
+    if mxu:
+        coef_ref, gcent_ref, refs = refs[0], refs[1], refs[2:]
+    t_ref, i_ref, n_ref, m_ref, *outs_scratch = refs
     if counters:
         # Diagnostic outputs (see triangle_closest_bvh(counters=True)):
         # per-subtile round and leaf-sweep totals, broadcast over the
@@ -263,8 +401,16 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
         sweeps_ref[:, :] = jnp.zeros(sweeps_ref.shape, jnp.int32)
     else:
         ge, *scratch = outs_scratch
+    tabs = []
     if stream:
-        gbuf, dma_sem = scratch
+        gbuf, dma_sem, *scratch = scratch
+        tabs.append((
+            tri_ref, gbuf, dma_sem,
+            0 if rows_layout else 1, group * prim_tile,
+        ))
+    if mxu and streamc:
+        cbuf, csem = scratch
+        tabs.append((coef_ref, cbuf, csem, 0, 3 * group * prim_tile))
     t_ref[:, :] = jnp.full(t_ref.shape, _INF)
     i_ref[:, :] = jnp.full(i_ref.shape, -1, jnp.int32)
     n_ref[:, :] = jnp.zeros(n_ref.shape, n_ref.dtype)
@@ -290,20 +436,29 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
             gstar = kmin & idmask
             alive = (kmin & ~idmask) < _EXHAUSTED
 
-            if stream:
+            if tabs:
                 # One DMA per supergroup (16 leaves = group*prim_tile
                 # triangles, 16x the old per-cluster DMA amortization) with
                 # double-buffered prefetch of the next-nearest entered group
                 # so the transfer overlaps this group's sweep.
                 cur, pf, pbuf = _stream_fetch(
-                    tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
-                    pbuf, group * prim_tile, rows_layout,
+                    tabs, gstar, keys, idmask, alive, pf, pbuf,
                 )
 
             @pl.when(alive)
             def _():
                 if counters:
                     rounds_ref[0:1, sl] = rounds_ref[0:1, sl] + 1
+                if mxu:
+                    # Round-invariant MXU feature stack: one recenter +
+                    # cross + split per visited supergroup, amortized over
+                    # its entered-leaf dots.
+                    gcx = gcent_ref[pl.ds(gstar, 1), 0:1]
+                    gcy = gcent_ref[pl.ds(gstar, 1), 1:2]
+                    gcz = gcent_ref[pl.ds(gstar, 1), 2:3]
+                    phi_ext = _mt_features(
+                        ox, oy, oz, dx, dy, dz, gcx, gcy, gcz
+                    )
                 lb = laabb_ref[pl.ds(gstar * group, group), :]  # (group, 8)
                 # 128-lane half gating: the subtile's lanes split into
                 # vreg-width halves, each sweeping a leaf only if one of ITS
@@ -349,6 +504,30 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
                         else:
                             cols = tri_ref[:, pl.ds(base, prim_tile)].T
                         mt = _mt_columns(cols, anyhit=False)
+                        if mxu:
+                            # One MXU dot gives the three MT determinant
+                            # planes for the leaf; `cols`/`mt` stay for the
+                            # winner's normal/material rows and the packed
+                            # e2×e1 column that the VPU `a` dot reads.
+                            if streamc:
+                                cblk = cbuf[cur][
+                                    k * 3 * prim_tile:(k + 1) * 3 * prim_tile,
+                                    :,
+                                ]
+                            else:
+                                cblk = coef_ref[
+                                    pl.ds((gstar * group + k) * 3 * prim_tile,
+                                          3 * prim_tile), :,
+                                ]
+                            if MT_KD < MT_K:
+                                cblk = cblk[:, 0:MT_KD]
+                            outq = jax.lax.dot_general(
+                                cblk, phi_ext, (((1,), (0,)), ((), ())),
+                                preferred_element_type=ox.dtype,
+                            )
+                            ce0 = cols[:, 13:14]
+                            ce1 = cols[:, 14:15]
+                            ce2 = cols[:, 15:16]
 
                         for (hsl, rh, le), (gate, cur_best, t_hi) in zip(
                             halves, gates
@@ -359,9 +538,15 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
                                     sweeps_ref[0:1, hsl] = (
                                         sweeps_ref[0:1, hsl] + 1
                                     )
-                                ts = _mt_ts(mt[:9], rh[0], rh[1], rh[2],
-                                            rh[3], rh[4], rh[5], rh[6],
-                                            t_hi, gate)
+                                if mxu:
+                                    a_p = (ce0 * rh[3] + ce1 * rh[4]
+                                           + ce2 * rh[5])
+                                    ts = _mt_ts_mxu(a_p, outq, prim_tile,
+                                                    rh[6], t_hi, gate)
+                                else:
+                                    ts = _mt_ts(mt[:9], rh[0], rh[1], rh[2],
+                                                rh[3], rh[4], rh[5], rh[6],
+                                                t_hi, gate)
                                 tmin_tile = jnp.min(ts, axis=0, keepdims=True)
                                 argp = jnp.argmin(ts, axis=0).astype(
                                     jnp.int32
@@ -401,20 +586,35 @@ def _bvh_closest_kernel(o_ref, d_ref, tmin_ref, tup_ref, gaabb_ref, laabb_ref,
             lambda c: c[0] >= 0, round_body,
             (jnp.int32(0), jnp.int32(-1), jnp.int32(0)),
         )
-        if stream:
+        if tabs:
             # Drain the last outstanding prefetch (wasted by termination).
             @pl.when(pf_end >= 0)
             def _():
-                _stream_dma(tri_ref, gbuf, dma_sem, pf_end, pbuf_end,
-                            group * prim_tile, rows_layout).wait()
+                _stream_wait(tabs, pf_end, pbuf_end)
 
 
 def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
-                       tri_ref, occ_ref, ge, *scratch,
-                       g_rows, group, prim_tile, sub_w, stream, rows_layout,
-                       lane_gate):
+                       tri_ref, *refs,
+                       g_rows, group, prim_tile, sub_w, stream, streamc,
+                       rows_layout, lane_gate, mxu):
+    # In mxu mode tri_ref IS the coefficient table (the occlusion test needs
+    # no other per-triangle payload beyond the packed e2×e1 column in the
+    # small ne table feeding the VPU `a` dot); `stream` then governs the ne
+    # table's transport and streamc the coefficient table's.
+    if mxu:
+        net_ref, gcent_ref, refs = refs[0], refs[1], refs[2:]
+    occ_ref, ge, *scratch = refs
+    tabs = []
     if stream:
-        gbuf, dma_sem = scratch
+        src = net_ref if mxu else tri_ref
+        gbuf, dma_sem, *scratch = scratch
+        tabs.append((
+            src, gbuf, dma_sem,
+            0 if rows_layout else 1, group * prim_tile,
+        ))
+    if mxu and streamc:
+        cbuf, csem = scratch
+        tabs.append((tri_ref, cbuf, csem, 0, 3 * group * prim_tile))
     occ_ref[:, :] = jnp.zeros(occ_ref.shape, jnp.int32)
 
     width = o_ref.shape[1]
@@ -437,14 +637,20 @@ def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
             gstar = kmin & idmask
             alive = (kmin & ~idmask) < _EXHAUSTED
 
-            if stream:
+            if tabs:
                 cur, pf, pbuf = _stream_fetch(
-                    tri_ref, gbuf, dma_sem, gstar, keys, idmask, alive, pf,
-                    pbuf, group * prim_tile, rows_layout,
+                    tabs, gstar, keys, idmask, alive, pf, pbuf,
                 )
 
             @pl.when(alive)
             def _():
+                if mxu:
+                    gcx = gcent_ref[pl.ds(gstar, 1), 0:1]
+                    gcy = gcent_ref[pl.ds(gstar, 1), 1:2]
+                    gcz = gcent_ref[pl.ds(gstar, 1), 2:3]
+                    phi_ext = _mt_features(
+                        ox, oy, oz, dx, dy, dz, gcx, gcy, gcz
+                    )
                 lb = laabb_ref[pl.ds(gstar * group, group), :]
                 # 128-lane half gating (see the closest kernel; same aligned
                 # ref-read discipline — lane-offset slices don't lower).
@@ -471,24 +677,59 @@ def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
                     @pl.when(enter)
                     def _():
                         base = (gstar * group + k) * prim_tile
-                        if stream and rows_layout:
+                        if mxu:
+                            if streamc:
+                                cblk = cbuf[cur][
+                                    k * 3 * prim_tile:(k + 1) * 3 * prim_tile,
+                                    :,
+                                ]
+                            else:
+                                cblk = tri_ref[
+                                    pl.ds((gstar * group + k) * 3 * prim_tile,
+                                          3 * prim_tile), :,
+                                ]
+                            if MT_KD < MT_K:
+                                cblk = cblk[:, 0:MT_KD]
+                            outq = jax.lax.dot_general(
+                                cblk, phi_ext, (((1,), (0,)), ((), ())),
+                                preferred_element_type=ox.dtype,
+                            )
+                            if stream:
+                                ncols = gbuf[cur][
+                                    :, k * prim_tile:(k + 1) * prim_tile
+                                ].T
+                            else:
+                                ncols = net_ref[:, pl.ds(base, prim_tile)].T
+                            ce0 = ncols[:, 0:1]
+                            ce1 = ncols[:, 1:2]
+                            ce2 = ncols[:, 2:3]
+                            mt = None
+                        elif stream and rows_layout:
                             cols = gbuf[cur][
                                 k * prim_tile:(k + 1) * prim_tile, :
                             ]
+                            mt = _mt_columns(cols, anyhit=True)
                         elif stream:
                             cols = gbuf[cur][
                                 :, k * prim_tile:(k + 1) * prim_tile
                             ].T
+                            mt = _mt_columns(cols, anyhit=True)
                         else:
                             cols = tri_ref[:, pl.ds(base, prim_tile)].T
-                        mt = _mt_columns(cols, anyhit=True)
+                            mt = _mt_columns(cols, anyhit=True)
 
                         for (hsl, rh, le), gate in zip(halves, gates):
                             @pl.when(jnp.any(gate))
                             def _():
-                                ts = _mt_ts(mt[:9], rh[0], rh[1], rh[2],
-                                            rh[3], rh[4], rh[5], rh[6],
-                                            rh[7], gate)
+                                if mxu:
+                                    a_p = (ce0 * rh[3] + ce1 * rh[4]
+                                           + ce2 * rh[5])
+                                    ts = _mt_ts_mxu(a_p, outq, prim_tile,
+                                                    rh[6], rh[7], gate)
+                                else:
+                                    ts = _mt_ts(mt[:9], rh[0], rh[1], rh[2],
+                                                rh[3], rh[4], rh[5], rh[6],
+                                                rh[7], gate)
                                 hit = jnp.any(ts < _INF, axis=0, keepdims=True)
                                 occ_ref[0:1, hsl] = (
                                     occ_ref[0:1, hsl] | hit.astype(jnp.int32)
@@ -503,11 +744,10 @@ def _bvh_anyhit_kernel(o_ref, d_ref, tmin_ref, tmax_ref, gaabb_ref, laabb_ref,
             lambda c: c[0] >= 0, round_body,
             (jnp.int32(0), jnp.int32(-1), jnp.int32(0)),
         )
-        if stream:
+        if tabs:
             @pl.when(pf_end >= 0)
             def _():
-                _stream_dma(tri_ref, gbuf, dma_sem, pf_end, pbuf_end,
-                            group * prim_tile, rows_layout).wait()
+                _stream_wait(tabs, pf_end, pbuf_end)
 
 
 def _prep(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat, dtype,
@@ -566,13 +806,14 @@ def _resolve_stream(stream, t_rows, dtype):
     jax.jit,
     static_argnames=(
         "interpret", "prim_tile", "group", "sub_w", "ray_tile", "stream",
-        "layout", "counters", "lane_gate",
+        "layout", "counters", "lane_gate", "mxu", "mt_stream",
     ),
 )
 def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
                          interpret=False, prim_tile=PRIM_TILE, group=GROUP,
                          sub_w=SUB_W, ray_tile=RAY_TILE, stream=None,
-                         layout="cols", counters=False, lane_gate=0):
+                         layout="cols", counters=False, lane_gate=0,
+                         mxu=False, mt_stream=None):
     """Closest triangle hit via the two-level union-sweep traversal.
 
     Same return contract as pallas_intersect.triangle_closest:
@@ -583,6 +824,11 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
     ``stream=None`` auto-selects: tables over VMEM_TABLE_BUDGET stream from
     HBM one supergroup per visit (unbounded scene size), smaller tables stay
     VMEM-resident for the whole dispatch.
+
+    ``mxu=True`` runs the leaf sweeps as MXU determinant dots (see the MT_K
+    comment at the top): hit decisions agree with the VPU form except on
+    documented knife-edge lanes (~1e-7 of pairs); lane_gate is ignored (the
+    dot spans the full subtile).
     """
     n = o.shape[0]
     dtype = o.dtype
@@ -596,9 +842,32 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
         stream = True
     else:
         stream = _resolve_stream(stream, tri.shape[1], dtype)
+    streamc = False
+    if mxu:
+        t_rows = tri.shape[0] if layout == "rows" else tri.shape[1]
+        coef, gcent = _mt_coeff_table(
+            v0, e1, e2, t_rows, prim_tile, group, dtype
+        )
+        gcent = _pad_rows(gcent, g_pad)
+        streamc = (
+            coef.shape[0] * MT_K * 2 > VMEM_TABLE_BUDGET
+            if mt_stream is None else mt_stream
+        )
+        # Rows 13:16 of the packed table are padding — carry e2×e1 there so
+        # the kernel's VPU `a` dot rides the table that already moves for
+        # the winner's normal/material rows (zero extra transport).
+        ce = _pad_rows(
+            jnp.cross(e2.astype(dtype), e1.astype(dtype)), t_rows
+        )
+        tri = (
+            tri.at[:, 13:16].set(ce)
+            if layout == "rows" else tri.at[13:16, :].set(ce.T)
+        )
     tmin_r, tup_r, gaabb, laabb, tri = _lift_vma(
         (o_t, d_t), tmin_r, tup_r, gaabb, laabb, tri
     )
+    if mxu:
+        coef, gcent = _lift_vma((o_t, d_t), coef, gcent)
     # Closest-hit padding lanes: t_max = +inf would keep them live forever;
     # give them an inverted [inf, -inf] range instead (tup fill above).
 
@@ -611,6 +880,19 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
     tri_spec = pl.BlockSpec(
         memory_space=pltpu.ANY if stream else pltpu.VMEM
     )
+    in_specs = [
+        spec(3), spec(3), spec(1), spec(1),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # gaabb (G, 8), resident
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # laabb (C, 8), resident
+        tri_spec,                                # tri (16, T)
+    ]
+    inputs = [o_t, d_t, tmin_r, tup_r, gaabb, laabb, tri]
+    if mxu:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.ANY if streamc else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gcent (G, 8)
+        ]
+        inputs += [coef, gcent]
     scratch = [pltpu.VMEM((g_pad, ray_tile), dtype)]
     if stream:
         gshape = (
@@ -620,6 +902,11 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
         )
         scratch += [
             pltpu.VMEM(gshape, dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    if streamc:
+        scratch += [
+            pltpu.VMEM((2, 3 * group * prim_tile, MT_K), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
@@ -639,21 +926,17 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
     res = pl.pallas_call(
         functools.partial(_bvh_closest_kernel, g_rows=g_pad, group=group,
                           prim_tile=prim_tile, sub_w=sub_w, stream=stream,
-                          rows_layout=layout == "rows",
-                          lane_gate=min(lane_gate or sub_w, sub_w),
-                          counters=counters),
+                          streamc=streamc, rows_layout=layout == "rows",
+                          lane_gate=(sub_w if mxu
+                                     else min(lane_gate or sub_w, sub_w)),
+                          mxu=mxu, counters=counters),
         grid=grid,
-        in_specs=[
-            spec(3), spec(3), spec(1), spec(1),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # gaabb (G, 8), resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # laabb (C, 8), resident
-            tri_spec,                                # tri (16, T)
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(o_t, d_t, tmin_r, tup_r, gaabb, laabb, tri)
+    )(*inputs)
     t, i, nrm, m = res[:4]
     if counters:
         # Per-subtile diagnostics, one value per sub_w span of the padded
@@ -671,16 +954,18 @@ def triangle_closest_bvh(o, d, t_min, t_max, v0, e1, e2, tri_normal, tri_mat,
     jax.jit,
     static_argnames=(
         "interpret", "prim_tile", "group", "sub_w", "ray_tile", "stream",
-        "layout", "lane_gate",
+        "layout", "lane_gate", "mxu", "mt_stream",
     ),
 )
 def triangle_anyhit_bvh(o, d, t_min, t_max, v0, e1, e2, interpret=False,
                         prim_tile=PRIM_TILE, group=GROUP, sub_w=SUB_W,
                         ray_tile=RAY_TILE, stream=None, layout="cols",
-                        lane_gate=0):
+                        lane_gate=0, mxu=False, mt_stream=None):
     """Occlusion against the triangle soup, two-level union-sweep traversal.
     Returns a bool (N,) mask; near-first group order settles lanes fastest.
-    ``stream`` as in :func:`triangle_closest_bvh`."""
+    ``stream`` as in :func:`triangle_closest_bvh`. With ``mxu=True`` the
+    coefficient table IS the only per-triangle table (occlusion needs no
+    winner payload), riding the tri operand slot."""
     n = o.shape[0]
     dtype = o.dtype
     tri, laabb, gaabb, g_pad, o_t, d_t, tmin_r, tmax_r, n_pad = _prep(
@@ -690,12 +975,35 @@ def triangle_anyhit_bvh(o, d, t_min, t_max, v0, e1, e2, interpret=False,
     if layout == "rows":
         if stream is False:
             raise ValueError("layout='rows' is HBM-streamed only")
+        if mxu:
+            raise ValueError("layout='rows' and mxu are mutually exclusive")
         stream = True
     else:
         stream = _resolve_stream(stream, tri.shape[1], dtype)
+    streamc = False
+    net = None
+    if mxu:
+        t_rows = tri.shape[1]
+        coef, gcent = _mt_coeff_table(
+            v0, e1, e2, t_rows, prim_tile, group, dtype
+        )
+        gcent = _pad_rows(gcent, g_pad)
+        streamc = (
+            coef.shape[0] * MT_K * 2 > VMEM_TABLE_BUDGET
+            if mt_stream is None else mt_stream
+        )
+        tri = coef           # the determinant table replaces the MT table
+        # Small ne table (8, T), rows 0:3 = e2×e1 for the VPU `a` dot;
+        # `stream` now governs ITS transport (the 16-row rule is the
+        # conservative stand-in so the wrapper knob keeps meaning "does the
+        # per-triangle f32 table fit VMEM").
+        ce = _pad_rows(jnp.cross(e2.astype(dtype), e1.astype(dtype)), t_rows)
+        net = _pad_rows(ce.T, 8)
     tmin_r, tmax_r, gaabb, laabb, tri = _lift_vma(
         (o_t, d_t), tmin_r, tmax_r, gaabb, laabb, tri
     )
+    if mxu:
+        net, gcent = _lift_vma((o_t, d_t), net, gcent)
 
     grid = (n_pad // ray_tile,)
 
@@ -704,35 +1012,50 @@ def triangle_anyhit_bvh(o, d, t_min, t_max, v0, e1, e2, interpret=False,
                             memory_space=pltpu.VMEM)
 
     tri_spec = pl.BlockSpec(
-        memory_space=pltpu.ANY if stream else pltpu.VMEM
+        memory_space=pltpu.ANY if (streamc if mxu else stream) else pltpu.VMEM
     )
+    in_specs = [
+        spec(3), spec(3), spec(1), spec(1),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        tri_spec,
+    ]
+    inputs = [o_t, d_t, tmin_r, tmax_r, gaabb, laabb, tri]
+    if mxu:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gcent
+        ]
+        inputs += [net, gcent]
     scratch = [pltpu.VMEM((g_pad, ray_tile), dtype)]
     if stream:
         gshape = (
             (2, group * prim_tile, _TAB_ROWS)
             if layout == "rows"
-            else (2, _TAB_ROWS, group * prim_tile)
+            else (2, 8 if mxu else _TAB_ROWS, group * prim_tile)
         )
         scratch += [
             pltpu.VMEM(gshape, dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    if streamc:
+        scratch += [
+            pltpu.VMEM((2, 3 * group * prim_tile, MT_K), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
     occ = pl.pallas_call(
         functools.partial(_bvh_anyhit_kernel, g_rows=g_pad, group=group,
                           prim_tile=prim_tile, sub_w=sub_w, stream=stream,
-                          rows_layout=layout == "rows",
-                          lane_gate=min(lane_gate or sub_w, sub_w)),
+                          streamc=streamc, rows_layout=layout == "rows",
+                          lane_gate=(sub_w if mxu
+                                     else min(lane_gate or sub_w, sub_w)),
+                          mxu=mxu),
         grid=grid,
-        in_specs=[
-            spec(3), spec(3), spec(1), spec(1),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            tri_spec,
-        ],
+        in_specs=in_specs,
         out_specs=spec(1),
         out_shape=_out_struct((1, n_pad), jnp.int32, o, d),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(o_t, d_t, tmin_r, tmax_r, gaabb, laabb, tri)
+    )(*inputs)
     return occ[0, :n] != 0

@@ -504,7 +504,11 @@ def intersect(
                     interpret=interp,
                     # A/B knob (trace time): rows = streamed no-transpose.
                     layout=_os.environ.get("PT_BVH_LAYOUT", "cols"),
-                    **bv.env_params(),
+                    # Round-5 default: the MXU Möller–Trumbore form (closest
+                    # measured +19% bounce / +84% primary on the 70k knot;
+                    # any-hit stays on the VPU form — its cheaper sweep loses
+                    # to the per-leaf dot). PT_BVH_MXU=0/1 overrides both.
+                    **{"mxu": True, **bv.env_params()},
                 )
             if resident and not tri_small:
                 from . import resident_intersect as rs

@@ -854,17 +854,24 @@ def _fused_bounce_kernel(
 
         if has_sph_l:
             # Sphere lane: uniform cone direction, re-intersected
-            # (shape.rs:91-145).
+            # (shape.rs:91-145). Round-5 op trims, all bitwise-exact reuses:
+            # |ocv|^2 IS dist_sq ((-x)*(-x) == x*x), the normalize's length
+            # dot IS dist_sq, and -(p_p - point) IS point - p_p in IEEE.
             to_c = _sub3(p_p, point)
             dist_sq = _dot3(to_c, to_c)
-            sin2_max = (p_rad * p_rad) / jnp.where(dist_sq > 0.0, dist_sq, 1.0)
+            rad_sq = p_rad * p_rad
+            sin2_max = rad_sq / jnp.where(dist_sq > 0.0, dist_sq, 1.0)
             cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
             solid = 2.0 * _PI * (1.0 - cos_max)
             pdf_sph = 1.0 / jnp.maximum(solid, 1e-12)
             cth = 1.0 - u1 + u1 * cos_max
             sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
             phi = 2.0 * _PI * u2
-            wdir = _normalize3(to_c)
+            ln_c = jnp.sqrt(dist_sq)
+            safe_c = jnp.where(ln_c > 0.0, ln_c, 1.0)
+            wdir = tuple(
+                jnp.where(ln_c > 0.0, c / safe_c, c) for c in to_c
+            )
             wy_big = jnp.abs(wdir[1]) > 0.999
             onec = jnp.ones_like(wdir[0])
             zeroc = jnp.zeros_like(wdir[0])
@@ -877,10 +884,10 @@ def _fused_bounce_kernel(
                     _scale3(wdir, cth),
                 )
             )
-            ocv = _sub3(point, p_p)
+            ocv = _neg3(to_c)
             a_q = _dot3(cone, cone)
             hb_q = _dot3(ocv, cone)
-            c_q = _dot3(ocv, ocv) - p_rad * p_rad
+            c_q = dist_sq - rad_sq
             disc_q = hb_q * hb_q - a_q * c_q
             t_q = (-hb_q - jnp.sqrt(jnp.maximum(disc_q, 0.0))) / a_q
             lp_sph = _add3(point, _scale3(cone, t_q))
@@ -961,8 +968,12 @@ def _fused_bounce_kernel(
         else:
             blocked = ldist < 0.0  # split mode: visibility resolved outside
 
-        cos_l = jnp.abs(_dot3(normal, ldir))
-        lam_b, lam_p = _eval_lambert(m_col, ldir, normal)
+        # _eval_lambert inlined so its o·n dot is shared with cos_l
+        # (commutative products — bitwise identical to the composed path).
+        ldir_n = _dot3(ldir, normal)
+        cos_l = jnp.abs(ldir_n)
+        lam_b = _scale3(m_col, 1.0 / _PI)
+        lam_p = jnp.maximum(ldir_n, 0.0) * (1.0 / _PI)
         if has_mirror and "neeeval" in sections:
             mir_b, mir_p = _eval_mirror(
                 m_col, m_rough, m_metal, m_ior, i3, ldir, normal, eta_in

@@ -239,7 +239,16 @@ def test_pool_render_method_invariance():
     # depends on cluster visit order, which differs between traversals.
     # Round 1's reorder bug was a >10% image shift; 1e-5 still catches it.
     np.testing.assert_allclose(img_tile, img_binned, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(img_tile, img_bvh, rtol=1e-5, atol=1e-5)
+    # The BVH route defaults to the MXU Möller–Trumbore form (round 5):
+    # its determinants agree with the VPU chain to ~1e-7 relative, so a
+    # handful of knife-edge samples (shared-edge / grazing hits) may flip
+    # and legitimately diverge a whole path — the documented determinism
+    # contract. Tolerance-with-outlier-budget, same as the cross-compile
+    # image tests (tests/imgutil.py).
+    from tests.imgutil import assert_images_match
+
+    assert_images_match(img_bvh, img_tile, rtol=1e-5, atol=1e-5,
+                        max_outliers=3)
     np.testing.assert_allclose(img_brute, img_binned, rtol=2e-3, atol=2e-3)
 
 
@@ -341,6 +350,62 @@ def test_bvh_streamed_matches_resident_table():
     ob = bv.triangle_anyhit_bvh(o, d, 1e-3, 2.5, scene.tri_v0, scene.tri_e1,
                                 scene.tri_e2, interpret=True, stream=True)
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+def test_bvh_mxu_matches_vpu_form():
+    """The MXU Möller–Trumbore determinant path (round 5) must agree with
+    the VPU chain everywhere off the documented knife edges: identical
+    winning prims on this random soup (the bf16-split dot error is ~1e-7
+    relative — acceptance flips need a pair within that of an edge), hit t
+    to the split-dot tolerance, and bitwise equality between its own
+    resident and streamed coefficient transports."""
+    import numpy as np
+
+    from pathtrace_tpu.ops import bvh_intersect as bv
+
+    rng = np.random.default_rng(12)
+    T, N = 1800, 1024
+    v0 = jnp.asarray(rng.uniform(-5, 5, (T, 3)), jnp.float32)
+    e1 = jnp.asarray(rng.uniform(-0.5, 0.5, (T, 3)), jnp.float32)
+    e2 = jnp.asarray(rng.uniform(-0.5, 0.5, (T, 3)), jnp.float32)
+    nrm = jnp.cross(e1, e2)
+    nrm = nrm / jnp.linalg.norm(nrm, axis=1, keepdims=True)
+    mat = jnp.asarray(rng.integers(0, 5, (T,)), jnp.int32)
+    o = jnp.asarray(rng.uniform(-6, 6, (N, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    args = (o, d, 1e-3, jnp.inf, v0, e1, e2, nrm, mat)
+    ref = bv.triangle_closest_bvh(*args, interpret=True)
+    got = bv.triangle_closest_bvh(*args, interpret=True, mxu=True)
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    hit = np.asarray(ref[1]) >= 0
+    np.testing.assert_allclose(
+        np.asarray(ref[0])[hit], np.asarray(got[0])[hit], rtol=2e-4
+    )
+    # Winner payloads come from the same table rows — exactly equal.
+    np.testing.assert_array_equal(
+        np.asarray(ref[2])[hit], np.asarray(got[2])[hit]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref[3])[hit], np.asarray(got[3])[hit]
+    )
+    occ_ref = bv.triangle_anyhit_bvh(o, d, 1e-3, 8.0, v0, e1, e2,
+                                     interpret=True)
+    occ = bv.triangle_anyhit_bvh(o, d, 1e-3, 8.0, v0, e1, e2,
+                                 interpret=True, mxu=True)
+    np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ))
+
+    # Streamed coefficient transport == resident, bitwise. (mt_stream is a
+    # STATIC arg — monkeypatching VMEM_TABLE_BUDGET would silently hit the
+    # jit cache and compare the resident executable against itself.)
+    got_s = bv.triangle_closest_bvh(*args, interpret=True, mxu=True,
+                                    mt_stream=True)
+    occ_s = bv.triangle_anyhit_bvh(o, d, 1e-3, 8.0, v0, e1, e2,
+                                   interpret=True, mxu=True, mt_stream=True)
+    for a, b in zip(got, got_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_s))
 
 
 @pytest.mark.slow
