@@ -6,6 +6,12 @@ occupancy 0.45 with the production 16,384-slot pool: the work queue is only
 by the drain. This sweeps num_slots (and with it items/slot) on the real
 chip to find the small-frame optimum and the auto-sizing rule.
 
+Measurement notes (hard-won, CLAUDE.md): ``seed``/``sample_offset`` are
+STATIC args of render_pool — varying them re-compiles, so distinct timed
+calls perturb the CAMERA (traced) instead; and a single dispatch at this
+frame size is ~50 ms where the host round-trip alone is ~40 ms, so the
+timed region is K back-to-back async dispatches with one block at the end.
+
 Run: python examples/slots_sweep.py
 """
 
@@ -14,6 +20,7 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+import dataclasses
 import time
 
 import jax
@@ -28,32 +35,35 @@ from pathtrace_tpu.pool import busy_count, ray_count, render_pool
 
 W = H = 256
 SPP = 16
-
-
-def run_once(scene, cam, slots, seed):
-    img, rays, iters = render_pool(
-        scene, cam, width=W, height=H, spp=SPP, integrator="mis",
-        max_bounces=32, num_slots=slots, seed=seed,
-    )
-    jax.block_until_ready(img)
-    return img, rays, int(iters)
+K = 10
 
 
 def main():
     scene = scenes.default_spheres()
     cam = scenes.default_spheres_camera(W, H)
+    cams = [dataclasses.replace(cam, origin=cam.origin + 1e-5 * i)
+            for i in range(K + 4)]
+
+    def go(c, slots):
+        return render_pool(
+            scene, c, width=W, height=H, spp=SPP, integrator="mis",
+            max_bounces=32, num_slots=slots, seed=0,
+        )
+
     for slots in (2048, 4096, 8192, 16384, 32768):
-        run_once(scene, cam, slots, 0)          # compile
-        run_once(scene, cam, slots, 1)          # warm (first block ~2x)
+        outs = [go(c, slots) for c in cams[:4]]        # compile + warm x4
+        jax.block_until_ready(outs[-1][0])
         t0 = time.perf_counter()
-        img, rays, iters = run_once(scene, cam, slots, 2)
+        outs = [go(c, slots) for c in cams[4:]]        # K async dispatches
+        jax.block_until_ready([o[0] for o in outs])
+        dt = (time.perf_counter() - t0) / K
+        img, rays, iters = outs[-1]
         cs = float(jnp.sum(img))
-        dt = time.perf_counter() - t0
         n_rays = ray_count(rays)
-        occ = busy_count(rays) / max(iters * min(slots, W * H), 1)
-        print(f"slots {slots:6d}  {dt*1e3:7.1f} ms  "
+        occ = busy_count(rays) / max(int(iters) * min(slots, W * H), 1)
+        print(f"slots {slots:6d}  {dt*1e3:7.1f} ms/frame  "
               f"{n_rays/dt/1e6:6.1f} Mrays/s  occ {occ:.3f}  "
-              f"iters {iters}  checksum {cs:.1f}", flush=True)
+              f"iters {int(iters)}  checksum {cs:.1f}", flush=True)
 
 
 if __name__ == "__main__":

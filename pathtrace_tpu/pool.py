@@ -44,10 +44,10 @@ from .ops import bsdf as bsdf_ops
 from .ops import lights as light_ops
 from .ops import pallas_shade
 from .ops.intersect import (
-    default_method,
     intersect,
     occluded,
     occluded_transposed,
+    resolve_auto,
 )
 from .utils import rng as rng_ops
 from .utils import vec
@@ -176,7 +176,13 @@ def _pool_loop(
     # below remains the reference implementation (CPU, big scenes, ON/PBR).
     # Per-call traversal override beats the process default (the global
     # set_default_method pattern still works but costs a jax.clear_caches).
-    method = method or default_method()
+    # Unset -> "auto", resolved HERE (not in intersect) so the pool's own
+    # fused-megakernel gate below sees the real engine: big-triangle scenes
+    # route to the BVH union sweep on every wave class. Round-5 fix — the
+    # old `method or default_method()` collapsed to "pallas" on TPU, so the
+    # pool never took resolve_auto's BVH route and config-4 benches silently
+    # ran the flat-tile engine.
+    method = resolve_auto(method or "auto", scene.tri_v0.shape[0], None)
     fused = (
         pallas_shade.supports_scene(scene, integrator)
         and method in ("pallas", "pallas_interpret")
